@@ -1,0 +1,224 @@
+package graft.kernels
+
+/** MPX matrix-profile kernels (no FFT): per-diagonal covariance recurrence
+  * maintaining Pearson correlation, converted to z-normalized Euclidean
+  * distance at the end.
+  *
+  * Behavioral port of the reference's Cython kernels
+  * (`/root/reference/matrixprofile/algorithms/cympx.pyx:30-284`). The
+  * diagonal-block decomposition mirrors the reference's OpenMP `prange`
+  * per-thread buffers (cympx.pyx:72-73): a partition owns a contiguous range
+  * of diagonals, accumulates a private (mp, mpi) Pearson buffer, and buffers
+  * merge by elementwise max — the same merge used across Spark partitions
+  * (see graft.dist.ProfileMerge).
+  */
+object Mpx {
+
+  /** Pearson-domain profile buffer: mp values start at -1 (no match). */
+  final case class PearsonBuf(mp: Array[Double], mpi: Array[Long]) {
+    def copyOf: PearsonBuf = PearsonBuf(mp.clone(), mpi.clone())
+  }
+
+  def newBuf(len: Int): PearsonBuf =
+    PearsonBuf(Array.fill(len)(-1.0), Array.fill(len)(-1L))
+
+  /** Precomputed per-series terms shared by all diagonal blocks. */
+  final case class SelfStats(mu: Array[Double], sig: Array[Double],
+      df: Array[Double], dg: Array[Double], profileLen: Int, minlag: Int)
+
+  def selfStats(ts: Array[Double], w: Int): SelfStats = {
+    val n = ts.length
+    val profileLen = n - w + 1
+    val minlag = math.ceil(w / 4.0).toInt
+    val (mu, sig) = MovingStats.muinvn(ts, w)
+    val df = new Array[Double](profileLen)
+    val dg = new Array[Double](profileLen)
+    var i = w
+    while (i < n) {
+      df(i - w + 1) = 0.5 * (ts(i) - ts(i - w))
+      dg(i - w + 1) = (ts(i) - mu(i - w + 1)) + (ts(i - w) - mu(i - w))
+      i += 1
+    }
+    SelfStats(mu, sig, df, dg, profileLen, minlag)
+  }
+
+  /** Process self-join diagonals [diagStart, diagEnd) into `buf`
+    * (ref cympx.pyx:82-102). Diagonal indexing starts at minlag+1.
+    */
+  def selfJoinBlock(ts: Array[Double], w: Int, st: SelfStats,
+      diagStart: Int, diagEnd: Int, buf: PearsonBuf): Unit = {
+    val n = ts.length
+    val mp = buf.mp
+    val mpi = buf.mpi
+    var diag = diagStart
+    while (diag < diagEnd) {
+      var c = 0.0
+      var i = diag
+      while (i < diag + w) {
+        c += (ts(i) - st.mu(diag)) * (ts(i - diag) - st.mu(0))
+        i += 1
+      }
+      var offset = 0
+      val offEnd = n - w - diag + 1
+      while (offset < offEnd) {
+        val col = offset + diag
+        c += st.df(offset) * st.dg(col) + st.df(col) * st.dg(offset)
+        var cCmp = c * st.sig(offset) * st.sig(col)
+        if (cCmp > mp(offset)) {
+          mp(offset) = cCmp
+          mpi(offset) = col
+        }
+        if (cCmp > mp(col)) {
+          if (cCmp > 1.0) cCmp = 1.0
+          mp(col) = cCmp
+          mpi(col) = offset
+        }
+        offset += 1
+      }
+      diag += 1
+    }
+  }
+
+  /** Elementwise-max merge of Pearson buffers, clamping stored values at 1.0
+    * (ref cympx.pyx:104-112). `a` is mutated and returned; order-insensitive
+    * up to index ties at equal correlation.
+    */
+  def mergeInto(a: PearsonBuf, b: PearsonBuf): PearsonBuf = {
+    var j = 0
+    while (j < a.mp.length) {
+      if (b.mp(j) > a.mp(j)) {
+        a.mp(j) = if (b.mp(j) > 1.0) 1.0 else b.mp(j)
+        a.mpi(j) = b.mpi(j)
+      }
+      j += 1
+    }
+    a
+  }
+
+  /** Final clamp pass applied when a single buffer is used end-to-end
+    * (the reference always funnels buffers through the clamping merge).
+    */
+  def clampBuf(buf: PearsonBuf): PearsonBuf = {
+    var i = 0
+    while (i < buf.mp.length) {
+      if (buf.mp(i) > 1.0) buf.mp(i) = 1.0
+      i += 1
+    }
+    buf
+  }
+
+  /** Pearson → Euclidean in place for self-join output
+    * (ref cympx.pyx:114-117: no -1 special case for self joins).
+    */
+  def selfToEuclidean(buf: PearsonBuf, w: Int): Array[Double] = {
+    val out = new Array[Double](buf.mp.length)
+    var i = 0
+    while (i < out.length) {
+      out(i) = math.sqrt(2.0 * w * (1.0 - buf.mp(i)))
+      i += 1
+    }
+    out
+  }
+
+  /** Complete single-threaded self-join (ref mpx.py:20-100 + cympx.pyx
+    * mpx_parallel): returns (mp, mpi) in Euclidean or Pearson domain.
+    */
+  def mpxSelf(ts: Array[Double], w: Int,
+      crossCorrelation: Boolean = false): (Array[Double], Array[Long]) = {
+    require(w >= 4, "window size must be at least 4.")
+    require(w <= ts.length / 2.0, "Time series is too short relative to desired window size")
+    val st = selfStats(ts, w)
+    val buf = newBuf(st.profileLen)
+    selfJoinBlock(ts, w, st, st.minlag + 1, st.profileLen, buf)
+    clampBuf(buf)
+    if (crossCorrelation) (buf.mp, buf.mpi)
+    else (selfToEuclidean(buf, w), buf.mpi)
+  }
+
+  /** AB-join stats for one side. */
+  final case class AbStats(mu: Array[Double], sig: Array[Double],
+      df: Array[Double], dg: Array[Double], profileLen: Int)
+
+  def abStats(ts: Array[Double], w: Int): AbStats = {
+    val n = ts.length
+    val profileLen = n - w + 1
+    val (mu, sig) = MovingStats.muinvn(ts, w)
+    val df = new Array[Double](profileLen)
+    val dg = new Array[Double](profileLen)
+    var i = w
+    while (i < n) {
+      df(i - w + 1) = 0.5 * (ts(i) - ts(i - w))
+      dg(i - w + 1) = (ts(i) - mu(i - w + 1)) + (ts(i - w) - mu(i - w))
+      i += 1
+    }
+    AbStats(mu, sig, df, dg, profileLen)
+  }
+
+  /** One directional AB sweep over anchor rows [rowStart, rowEnd) of side A
+    * against side B (ref cympx.pyx:195-215 and the mirrored BA pass
+    * :218-237). Updates bufA (indexed by A positions) and bufB (B positions).
+    */
+  def abJoinBlock(a: Array[Double], b: Array[Double], w: Int,
+      sa: AbStats, sb: AbStats, rowStart: Int, rowEnd: Int,
+      bufA: PearsonBuf, bufB: PearsonBuf): Unit = {
+    var i = rowStart
+    while (i < rowEnd) {
+      val mx = math.min(sa.profileLen - i, sb.profileLen)
+      var cov = 0.0
+      var j = i
+      while (j < i + w) {
+        cov += (a(j) - sa.mu(i)) * (b(j - i) - sb.mu(0))
+        j += 1
+      }
+      j = 0
+      while (j < mx) {
+        val k = j + i
+        cov += sa.df(k) * sb.dg(j) + sa.dg(k) * sb.df(j)
+        val corr = cov * sa.sig(k) * sb.sig(j)
+        if (corr > bufA.mp(k)) {
+          bufA.mp(k) = corr
+          bufA.mpi(k) = j
+        }
+        if (corr > bufB.mp(j)) {
+          bufB.mp(j) = corr
+          bufB.mpi(j) = k
+        }
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Pearson → Euclidean for AB-join output: -1 (never matched) → ∞
+    * (ref cympx.pyx:261-274).
+    */
+  def abToEuclidean(buf: PearsonBuf, w: Int): Array[Double] = {
+    val out = new Array[Double](buf.mp.length)
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (buf.mp(i) == -1.0) Double.PositiveInfinity
+               else math.sqrt(2.0 * w * (1.0 - buf.mp(i)))
+      i += 1
+    }
+    out
+  }
+
+  /** Complete AB similarity join (ref cympx.pyx:125-284 mpx_ab_parallel):
+    * returns (mpA, mpiA, mpB, mpiB).
+    */
+  def mpxAb(ts: Array[Double], query: Array[Double], w: Int,
+      crossCorrelation: Boolean = false)
+      : (Array[Double], Array[Long], Array[Double], Array[Long]) = {
+    val sa = abStats(ts, w)
+    val sb = abStats(query, w)
+    val bufA = newBuf(sa.profileLen)
+    val bufB = newBuf(sb.profileLen)
+    // AB pass (A-anchored), then BA pass (B-anchored)
+    abJoinBlock(ts, query, w, sa, sb, 0, sa.profileLen, bufA, bufB)
+    abJoinBlock(query, ts, w, sb, sa, 0, sb.profileLen, bufB, bufA)
+    clampBuf(bufA)
+    clampBuf(bufB)
+    if (crossCorrelation) (bufA.mp, bufA.mpi, bufB.mp, bufB.mpi)
+    else (abToEuclidean(bufA, w), bufA.mpi, abToEuclidean(bufB, w), bufB.mpi)
+  }
+}
