@@ -1,0 +1,114 @@
+package graft.series
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.schema.{SeriesPoint, Transcript}
+
+/** Per-conversation series derivation from the transcript table.
+  *
+  * All derivations are declarative (window functions over the stable
+  * (conv_id, turn_idx) order) so Catalyst prunes columns at the scan —
+  * only conv_id, turn_idx, ts and length(text) are read — and whole-stage
+  * codegen covers the arithmetic. The reference's equivalent is the
+  * dataset loader + `to_np_array` coercion (datasets.py:132-219,
+  * core.py:78-102); the ordering contract (conv_id, turn_idx) is the
+  * engine's per-row invariant.
+  */
+object Derive {
+
+  private val turnOrder = Window.partitionBy("conv_id").orderBy("turn_idx")
+
+  /** Position-indexed token-length series: value = length(text) at
+    * bucket = turn_idx.
+    */
+  def tokenLen(transcripts: Dataset[Transcript]): Dataset[SeriesPoint] = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    transcripts
+      .select($"conv_id", lit("token_len").as("kind"),
+        $"turn_idx".cast("long").as("bucket"),
+        length($"text").cast("double").as("value"))
+      .as[SeriesPoint]
+  }
+
+  /** Position-indexed inter-turn gap series in seconds:
+    * value_i = (ts_i - ts_{i-1}) for i >= 1, at µs precision.
+    */
+  def gapSeconds(transcripts: Dataset[Transcript]): Dataset[SeriesPoint] = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    transcripts
+      .select($"conv_id", $"turn_idx", $"ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(turnOrder))
+      .where($"prev_ts".isNotNull)
+      .select($"conv_id", lit("gap_s").as("kind"),
+        ($"turn_idx" - 1).cast("long").as("bucket"),
+        (unix_micros($"ts") - unix_micros($"prev_ts")).cast("double") / 1e6 as "value")
+      .as[SeriesPoint]
+  }
+
+  /** Time-indexed turn-rate series: turns per minute bucket,
+    * bucket = epoch-micros of the minute start. Sparse — gap-fill
+    * densifies it.
+    */
+  def turnRate(transcripts: Dataset[Transcript]): Dataset[SeriesPoint] = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    transcripts
+      .groupBy($"conv_id",
+        (unix_micros(date_trunc("minute", $"ts"))).as("bucket"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select($"conv_id", lit("turn_rate").as("kind"), $"bucket", $"value")
+      .as[SeriesPoint]
+  }
+
+  /** Densify a time-indexed series to a regular grid of `stepMicros`,
+    * filling created buckets with `fillValue` (0 for rates) or
+    * forward-fill when `fillValue` is None.
+    *
+    * Implementation: per-conversation min/max bucket → sequence() +
+    * explode → left join (both sides hash-partitioned on conv_id, no
+    * broadcast of the big side) → fill. This is the engine's analog of
+    * the reference's impute_missing (preprocess.py:140-222), expressed as
+    * relational ops instead of an array pass.
+    */
+  def gapFill(points: Dataset[SeriesPoint], stepMicros: Long,
+      fillValue: Option[Double]): Dataset[SeriesPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val grid = points
+      .groupBy($"conv_id", $"kind")
+      .agg(min($"bucket").as("lo"), max($"bucket").as("hi"))
+      .select($"conv_id", $"kind",
+        explode(sequence($"lo", $"hi", lit(stepMicros))).as("bucket"))
+
+    val joined = grid.join(points, Seq("conv_id", "kind", "bucket"), "left")
+
+    val filled = fillValue match {
+      case Some(v) => joined.withColumn("value", coalesce($"value", lit(v)))
+      case None =>
+        val ffill = Window.partitionBy($"conv_id", $"kind").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        joined.withColumn("value",
+          coalesce($"value", last($"value", ignoreNulls = true).over(ffill)))
+    }
+    filled.select($"conv_id", $"kind", $"bucket", $"value").as[SeriesPoint]
+  }
+
+  /** Assemble per-conversation contiguous value arrays ordered by bucket —
+    * the Dataset ↔ kernel boundary. Returns (conv_id, kind, startBucket,
+    * step, values).
+    */
+  def assemble(points: Dataset[SeriesPoint]): Dataset[(String, String, Long, Array[Double])] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(p => (p.conv_id, p.kind))
+      .mapGroups { (key: (String, String), it: Iterator[SeriesPoint]) =>
+        val buf = it.map(p => (p.bucket, p.value)).toArray.sortBy(_._1)
+        (key._1, key._2, buf.head._1, buf.map(_._2))
+      }
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ingest.TranscriptGen
+import graft.series.Derive
+import graft.rollup.Rollup
+import graft.compress.{Chunks, Gorilla}
+import graft.dist.DistributedMp
+import graft.dist.DistributedMp.SeriesRow
+import graft.schema._
+import Fixtures._
+
+/** Pipeline-level gates: table → series → tier → MP, per FIXTURES.md §4.
+  * The reference's goldens gate the pipeline via the c_sample fixture
+  * conversation whose inter-turn gaps encode sampledata.txt.
+  */
+class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("generator is deterministic and stable under partitioning") {
+    import spark.implicits._
+    val a = TranscriptGen.generate(spark, 20).orderBy("conv_id", "turn_idx").collect()
+    val b = TranscriptGen.generate(spark, 20).repartition(13)
+      .orderBy("conv_id", "turn_idx").collect()
+    assert(a.toSeq == b.toSeq)
+    // per-turn text equality under stable (conv_id, turn_idx) ordering:
+    // regenerating any single turn reproduces the exact text
+    val sample = a.filter(_.conv_id == "c000003").take(5)
+    for (t <- sample)
+      assert(t.text == TranscriptGen.genConversation(42L, 3)(t.turn_idx).text)
+  }
+
+  test("pipeline golden gate: c_sample gap series -> mpx matches reference goldens") {
+    import spark.implicits._
+    val transcripts = spark.createDataset(TranscriptGen.fixtureConversations(42L))
+    val gap = Derive.gapSeconds(transcripts.filter($"conv_id" === "c_sample"))
+    val series = Derive.assemble(gap).collect()
+    assert(series.length == 1)
+    val values = series.head._4
+    assert(values.length == 875)
+    // derived series equals sampledata + 60s at µs quantization
+    for (i <- values.indices)
+      assert(math.abs(values(i) - 60.0 - sampledata(i)) < 1e-5,
+        s"i=$i ${values(i)} vs ${sampledata(i)}")
+    // MP through the distributed path matches the reference golden at 4dp
+    // (z-normalization absorbs the +60 shift; µs quantization < 1e-6)
+    val rows = DistributedMp.mpxProfiles(
+      spark.createDataset(Seq(SeriesRow("c_sample", "gap_s", 0L, values))), 32, "raw")
+      .collect()
+    assert(rows.length == 1)
+    assertAlmostEqual(rows.head.mp, load("mpx_mp.txt"), decimal = 4)
+    assert(rows.head.pi.toSeq == load("mpx_mpi.txt").map(_.toLong - 1).toSeq)
+  }
+
+  test("distributed split/merge path equals unsplit kernel (min-reduce gate)") {
+    import spark.implicits._
+    val sr = SeriesRow("c_sample", "gap_s", 0L, sampledata)
+    val ds = spark.createDataset(Seq(sr))
+    // force the split path with a tiny threshold
+    val split = DistributedMp.mpxProfiles(ds, 32, "raw", splitThreshold = 100,
+      blocksPerSplit = 7).collect().head
+    val unsplit = DistributedMp.mpxProfiles(ds, 32, "raw").collect().head
+    assertAlmostEqual(split.mp, unsplit.mp, decimal = 10)
+    assert(split.pi.toSeq == unsplit.pi.toSeq)
+
+    val sSplit = DistributedMp.stompProfiles(ds, 32, "raw", splitThreshold = 100,
+      batchesPerSplit = 5).collect().head
+    val sUnsplit = DistributedMp.stompProfiles(ds, 32, "raw").collect().head
+    assertAlmostEqual(sSplit.mp, sUnsplit.mp, decimal = 10)
+    assertAlmostEqual(sSplit.lmp, sUnsplit.lmp, decimal = 10)
+    assertAlmostEqual(sSplit.rmp, sUnsplit.rmp, decimal = 10)
+  }
+
+  test("gap-fill densifies c_gappy to a full minute grid") {
+    import spark.implicits._
+    val transcripts = spark.createDataset(TranscriptGen.fixtureConversations(42L))
+      .filter($"conv_id" === "c_gappy")
+    val rate = Derive.turnRate(transcripts)
+    val sparse = rate.count()
+    val filled = Derive.gapFill(rate, Rollup.MicrosPerMin, Some(0.0))
+    val n = filled.count()
+    assert(sparse < n, s"expected densification, got $sparse -> $n")
+    // full grid: max-min+1 minutes
+    val mm = filled.agg(min($"bucket"), max($"bucket")).as[(Long, Long)].first()
+    assert(n == (mm._2 - mm._1) / Rollup.MicrosPerMin + 1)
+    // filled minutes exist with value 0
+    assert(filled.where($"value" === 0.0).count() > 0)
+  }
+
+  test("rollup tiers chain losslessly and salting is invariant") {
+    import spark.implicits._
+    val transcripts = TranscriptGen.generate(spark, 10)
+    val raw = transcripts.select($"conv_id", lit("token_len_t").as("kind"),
+      unix_micros($"ts").as("bucket"), length($"text").cast("double").as("value"))
+      .as[SeriesPoint]
+
+    val m1 = Rollup.rollupRaw(raw, "1m")
+    val h1 = Rollup.rollupTier(m1, "1h")
+    val h1direct = Rollup.rollupRaw(raw, "1h")
+    val cols = Seq("conv_id", "kind", "bucket", "cnt", "sum", "min", "max", "first", "last")
+    val a = h1.orderBy("conv_id", "bucket").select(cols.map(col): _*).collect()
+    val b = h1direct.orderBy("conv_id", "bucket").select(cols.map(col): _*).collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      for (i <- 0 until x.length)
+        (x.get(i), y.get(i)) match {
+          case (dx: Double, dy: Double) => assert(math.abs(dx - dy) < 1e-9, s"$x vs $y")
+          case (ox, oy) => assert(ox == oy, s"$x vs $y")
+        }
+    }
+
+    val salt1 = Rollup.rollupRaw(raw, "1m", saltBuckets = 1)
+      .orderBy("conv_id", "bucket").collect()
+    val salt16 = Rollup.rollupRaw(raw, "1m", saltBuckets = 16)
+      .orderBy("conv_id", "bucket").collect()
+    assert(salt1.toSeq.map(_.copy(sum = 0)) == salt16.toSeq.map(_.copy(sum = 0)))
+    salt1.zip(salt16).foreach { case (x, y) => assert(math.abs(x.sum - y.sum) < 1e-6) }
+  }
+
+  test("1m tier of c_sample turn-rate equals raw (one turn per ~minute)") {
+    import spark.implicits._
+    // c_const has exactly one turn per 30s -> 1m tier cnt=2 everywhere
+    val transcripts = spark.createDataset(TranscriptGen.fixtureConversations(42L))
+      .filter($"conv_id" === "c_const")
+    val raw = transcripts.select($"conv_id", lit("t").as("kind"),
+      unix_micros($"ts").as("bucket"), length($"text").cast("double").as("value"))
+      .as[SeriesPoint]
+    val m1 = Rollup.rollupRaw(raw, "1m").collect()
+    assert(m1.forall(_.cnt == 2), m1.map(_.cnt).toSeq.take(5).toString)
+    assert(m1.forall(r => r.min == 64.0 && r.max == 64.0))
+  }
+
+  test("gorilla chunk codec round-trips through Spark") {
+    import spark.implicits._
+    val transcripts = TranscriptGen.generate(spark, 5)
+    val pts = Derive.tokenLen(transcripts)
+    val decoded = Chunks.decode(Chunks.encode(pts, maxPoints = 50))
+    val a = pts.orderBy("conv_id", "bucket").collect().toSeq
+    val b = decoded.orderBy("conv_id", "bucket").collect().toSeq
+    assert(a == b)
+  }
+
+  test("gorilla bitstream: adversarial doubles and timestamps") {
+    val vals = Array(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      1.0, -1.0, math.Pi, 1e308, -1e308, 4.9e-324, 0.1, 0.1, 0.1,
+      Double.MaxValue, Double.MinValue, 42.0, 42.0)
+    val dec = Gorilla.decodeValues(Gorilla.encodeValues(vals), vals.length)
+    assert(dec.toSeq.map(java.lang.Double.doubleToRawLongBits) ==
+      vals.toSeq.map(java.lang.Double.doubleToRawLongBits))
+    val ts = Array(0L, 60L, 120L, 180L, 240L, 240L, 250L, 1000000L,
+      Long.MaxValue / 2, Long.MaxValue / 2 + 3)
+    assert(Gorilla.decodeTimestamps(Gorilla.encodeTimestamps(ts), ts.length).toSeq == ts.toSeq)
+    // compression actually compresses a regular grid
+    val grid = Array.tabulate(10000)(i => TranscriptGen.EpochMicros + i * 60000000L)
+    val enc = Gorilla.encodeTimestamps(grid)
+    assert(enc.length < grid.length, s"ts bytes ${enc.length} for ${grid.length} points")
+  }
+}
