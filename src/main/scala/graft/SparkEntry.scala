@@ -1,13 +1,423 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.kernels.{Fluss, MpDist, Skimp, Snippets, TopK}
+import graft.compress.Gorilla
+import graft.dist.DistributedMp
+import graft.dist.DistributedMp.SeriesRow
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.rollup.Rollup
+import graft.schema.{SeriesPoint, TierAgg}
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2),
+  * with an ANSI-SQL DuckDB oracle wherever the operator is
+  * SQL-expressible. Column names and rounding match the oracle exactly —
+  * the driver hash-compares values after sorting columns by name.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** Per-user event value series ordered by (ts, event_id). */
+  private def userSeries(s: SparkSession, dir: String) = {
+    import s.implicits._
+    events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val arr = it.toArray.sortBy(r => (r._2.getTime, r._3))
+        SeriesRow(uid.toString, "value", 0L, arr.map(_._4))
+      }
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q26_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- rollup / tier aggregates (north-rule core) ----
+    "q01_rollup_1m" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type",
+          unix_timestamp(date_trunc("minute", $"ts".cast("timestamp"))).as("minute_ts"))
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_v"),
+          round(min($"value"), 6).as("min_v"), round(max($"value"), 6).as("max_v"))
+    }),
+
+    "q02_rollup_1h_chain" -> ((s, dir) => {
+      import s.implicits._
+      val pts = events(s, dir).select($"user_id".cast("string").as("conv_id"),
+        lit("v").as("kind"), unix_micros($"ts".cast("timestamp")).as("bucket"), $"value").as[SeriesPoint]
+      val h1 = Rollup.rollupTier(Rollup.rollupRaw(pts, "1m"), "1h")
+      h1.select($"conv_id".cast("long").as("user_id"),
+        ($"bucket" / 1000000L).cast("long").as("hour_ts"),
+        $"cnt", round($"sum", 4).as("sum_v"),
+        round($"min", 6).as("min_v"), round($"max", 6).as("max_v"))
+    }),
+
+    "q03_rollup_1d_chain" -> ((s, dir) => {
+      import s.implicits._
+      val pts = events(s, dir).select($"user_id".cast("string").as("conv_id"),
+        lit("v").as("kind"), unix_micros($"ts".cast("timestamp")).as("bucket"), $"value").as[SeriesPoint]
+      val d1 = Rollup.rollupTier(Rollup.rollupTier(Rollup.rollupRaw(pts, "1m"), "1h"), "1d")
+      d1.select($"conv_id".cast("long").as("user_id"),
+        ($"bucket" / 1000000L).cast("long").as("day_ts"),
+        $"cnt", round($"sum", 4).as("sum_v"),
+        round($"min", 6).as("min_v"), round($"max", 6).as("max_v"))
+    }),
+
+    "q04_rate_gapfill" -> ((s, dir) => {
+      import s.implicits._
+      val pts = events(s, dir).select($"user_id".cast("string").as("conv_id"),
+        lit("rate").as("kind"),
+        unix_micros(date_trunc("minute", $"ts".cast("timestamp"))).as("bucket"), lit(1.0).as("value"))
+        .groupBy($"conv_id", $"kind", $"bucket")
+        .agg(sum($"value").as("value")).as[SeriesPoint]
+      graft.series.Derive.gapFill(pts, Rollup.MicrosPerMin, Some(0.0))
+        .groupBy($"conv_id")
+        .agg(count(lit(1)).as("n_minutes"),
+          sum(when($"value" === 0.0, 1L).otherwise(0L)).as("n_zero_minutes"),
+          sum($"value").cast("long").as("total_events"))
+        .select($"conv_id".cast("long").as("user_id"),
+          $"n_minutes", $"n_zero_minutes", $"total_events")
+    }),
+
+    "q05_moving_stats" -> ((s, dir) => {
+      import s.implicits._
+      // moving mean/std over a fixed-point (1e-4) quantization of value:
+      // integer window sums are order-insensitive, so Spark's frame scan
+      // and DuckDB's segment tree produce bit-identical results
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-7, 0)
+      val rn = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, dir)
+        .withColumn("vi", round($"value" * 10000, 0).cast("long"))
+        .withColumn("s1", sum($"vi").over(w))
+        .withColumn("s2", sum($"vi" * $"vi").over(w))
+        .withColumn("rn", row_number().over(rn))
+        .where($"rn" >= 8)
+        .select($"user_id", $"event_id",
+          floor(($"s1" / 8.0) * 10.0).cast("long").as("mavg_e5"),
+          floor(sqrt(greatest($"s2" / 8.0 - ($"s1" / 8.0) * ($"s1" / 8.0),
+            lit(0.0))) * 10.0).cast("long").as("mstd_e5"))
+    }),
+
+    "q06_stats_global" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir).groupBy($"event_type").agg(
+        count(lit(1)).as("cnt"),
+        round(avg($"value"), 4).as("avg_v"),
+        round(stddev_pop($"value"), 4).as("std_v"),
+        round(min($"value"), 6).as("min_v"),
+        round(max($"value"), 6).as("max_v"),
+        round(expr("percentile(value, 0.5)"), 4).as("median_v"))
+    }),
+
+    "q14_moving_minmax" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-7, 0)
+      val rn = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, dir)
+        .withColumn("mmin", min($"value").over(w))
+        .withColumn("mmax", max($"value").over(w))
+        .withColumn("rn", row_number().over(rn))
+        .where($"rn" >= 8)
+        .select($"user_id", $"event_id",
+          round($"mmin", 6).as("mmin"), round($"mmax", 6).as("mmax"))
+    }),
+
+    // ---- matrix-profile family (not SQL-expressible; rows-only checks) ----
+    "q07_matrix_profile" -> ((s, dir) => {
+      import s.implicits._
+      DistributedMp.mpxProfiles(userSeries(s, dir), 8, "raw")
+        .map(p => (p.conv_id.toLong, p.mp.length,
+          BigDecimal(p.mp.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          p.mp.indexOf(p.mp.min).toLong))
+        .toDF("user_id", "profile_len", "min_mp", "min_idx")
+    }),
+
+    "q08_discords" -> ((s, dir) => {
+      import s.implicits._
+      DistributedMp.mpxProfiles(userSeries(s, dir), 8, "raw")
+        .flatMap { p =>
+          TopK.mpTopKDiscords(p.mp, p.ez, 3).zipWithIndex.map { case (d, r) =>
+            (p.conv_id.toLong, r + 1, d)
+          }
+        }.toDF("user_id", "rank", "discord_idx")
+    }),
+
+    "q09_motifs" -> ((s, dir) => {
+      import s.implicits._
+      userSeries(s, dir).flatMap { sr =>
+        if (sr.values.length < 16) Iterator.empty
+        else {
+          val (mp, pi) = graft.kernels.Mpx.mpxSelf(sr.values, 8)
+          TopK.mpTopKMotifs(sr.values, mp, pi, 8, 2, k = 2).iterator.map(m =>
+            (sr.conv_id.toLong, m.motifs._1, m.motifs._2, m.neighbors.length))
+        }
+      }.toDF("user_id", "motif_a", "motif_b", "n_neighbors")
+    }),
+
+    "q10_regimes" -> ((s, dir) => {
+      import s.implicits._
+      DistributedMp.mpxProfiles(userSeries(s, dir), 8, "raw")
+        .flatMap { p =>
+          if (p.pi.length <= 3 * p.w) Iterator.empty
+          else Fluss.extractRegimes(Fluss.cac(p.pi, p.w), p.w, 3)
+            .zipWithIndex.map { case (g, r) => (p.conv_id.toLong, r + 1, g) }
+        }.toDF("user_id", "rank", "regime_idx")
+    }),
+
+    "q11_snippets" -> ((s, dir) => {
+      import s.implicits._
+      userSeries(s, dir).flatMap { sr =>
+        if (sr.values.length < 64) Iterator.empty
+        else Snippets.snippets(sr.values, 32, 2, 16).iterator.map(sn =>
+          (sr.conv_id.toLong, sn.index,
+            BigDecimal(sn.fraction).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toDF("user_id", "snippet_idx", "fraction")
+    }),
+
+    "q12_mpdist_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val top = userSeries(s, dir).collect().sortBy(-_.values.length).take(5)
+      val pairs = for {
+        i <- top.indices; j <- top.indices if i < j
+      } yield (top(i), top(j))
+      s.createDataset(pairs.toSeq).map { case (a, b) =>
+        val d = MpDist.mpdist(a.values, b.values, 8)
+        (a.conv_id.toLong, b.conv_id.toLong,
+          BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("user_a", "user_b", "mpdist")
+    }),
+
+    "q13_pan_matrix_profile" -> ((s, dir) => {
+      import s.implicits._
+      userSeries(s, dir).flatMap { sr =>
+        if (sr.values.length < 40) Iterator.empty
+        else Skimp.skimp(sr.values, Array(8, 12, 16)).iterator.map { row =>
+          val finite = row.mp.filter(v => !v.isInfinite && !v.isNaN)
+          (sr.conv_id.toLong, row.window,
+            if (finite.isEmpty) -1.0
+            else BigDecimal(finite.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toDF("user_id", "window", "min_mp")
+    }),
+
+    "q15_gorilla_chunks" -> ((s, dir) => {
+      import s.implicits._
+      userSeries(s, dir).map { sr =>
+        val enc = Gorilla.encodeValues(sr.values)
+        val dec = Gorilla.decodeValues(enc, sr.values.length)
+        val lossless = dec.zip(sr.values).forall { case (a, b) =>
+          java.lang.Double.doubleToRawLongBits(a) == java.lang.Double.doubleToRawLongBits(b)
+        }
+        (sr.conv_id.toLong, sr.values.length, enc.length, lossless)
+      }.toDF("user_id", "n_points", "val_bytes", "lossless")
+    }),
+
+    // ---- training-data pipeline: dedup / text / similarity ----
+    "q16_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_hashes"))
+    }),
+
+    "q17_token_count" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .withColumn("n_tokens", TextOps.tokenCount($"text").cast("long"))
+        .groupBy($"source")
+        .agg(sum($"n_tokens").as("total_tokens"),
+          round(avg($"n_tokens"), 4).as("avg_tokens"))
+    }),
+
+    "q18_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      TextOps.qualityFeatures(documents(s, dir), $"text")
+        .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"),
+          $"n_uniq_tokens".cast("long").as("n_uniq_tokens"),
+          round($"uniq_ratio", 4).as("uniq_ratio"),
+          round($"avg_token_len", 4).as("avg_token_len"))
+    }),
+
+    "q19_language_id" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .withColumn("predicted", TextOps.languageId($"text"))
+        .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+    }),
+
+    "q20_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(documents(s, dir), threshold = 0.3)),
+
+    "q21_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(documents(s, dir), maxHamming = 8)),
+
+    "q22_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select($"doc_id",
+        TextOps.fingerprint($"text").as("fingerprint"))
+    }),
+
+    "q23_ann_brute" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.where($"vec_id" < 10), 5)
+        .select($"query_id", $"rank", $"neighbor_id")
+    }),
+
+    "q24_ann_lsh_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      val q = e.where($"vec_id" < 20)
+      val brute = Similarity.bruteForceTopK(e, q, 10)
+        .select($"query_id", $"neighbor_id")
+      val approx = Similarity.lshTopK(e, q, 10)
+        .select($"query_id".as("aq"), $"neighbor_id".as("an"))
+      brute.join(approx, brute("query_id") === $"aq" && brute("neighbor_id") === $"an",
+          "left")
+        .groupBy($"query_id")
+        .agg((count($"an") / count(lit(1))).as("recall_raw"))
+        .select($"query_id", round($"recall_raw", 2).as("recall"))
+    }),
+
+    "q25_embedding_dups" -> ((s, dir) =>
+      Dedup.embeddingDups(embeddings(s, dir), threshold = 0.9)),
+
+    "q27_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(documents(s, dir)))
+        .map(f => (f.media_id, f.kind, f.dim,
+          BigDecimal(f.features.sum.toDouble).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("media_id", "kind", "dim", "feature_sum")
+    }),
+
+    // ---- flagship relational aggregate over lineitem ----
+    "q26_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          round(avg($"l_discount"), 4).as("avg_disc"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_rollup_1m" ->
+      """SELECT event_type, epoch(date_trunc('minute', ts))::BIGINT AS minute_ts,
+         count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_v,
+         round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+         FROM events GROUP BY 1, 2""",
+
+    "q02_rollup_1h_chain" ->
+      """SELECT user_id, epoch(date_trunc('hour', ts))::BIGINT AS hour_ts,
+         count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_v,
+         round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+         FROM events GROUP BY 1, 2""",
+
+    "q03_rollup_1d_chain" ->
+      """SELECT user_id, epoch(date_trunc('day', ts))::BIGINT AS day_ts,
+         count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_v,
+         round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+         FROM events GROUP BY 1, 2""",
+
+    "q04_rate_gapfill" ->
+      """WITH m AS (SELECT user_id, date_trunc('minute', ts) AS mi, count(*) AS c
+                    FROM events GROUP BY 1, 2),
+              b AS (SELECT user_id, min(mi) AS lo, max(mi) AS hi FROM m GROUP BY 1),
+              g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS mi
+                    FROM b),
+              j AS (SELECT g.user_id, g.mi, coalesce(m.c, 0) AS c
+                    FROM g LEFT JOIN m ON g.user_id = m.user_id AND g.mi = m.mi)
+         SELECT user_id, count(*)::BIGINT AS n_minutes,
+                sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_minutes,
+                sum(c)::BIGINT AS total_events
+         FROM j GROUP BY user_id""",
+
+    "q05_moving_stats" ->
+      """SELECT user_id, event_id,
+         floor((s1 / 8.0) * 10.0)::BIGINT AS mavg_e5,
+         floor(sqrt(greatest(s2 / 8.0 - (s1 / 8.0) * (s1 / 8.0), 0.0))
+               * 10.0)::BIGINT AS mstd_e5
+         FROM (SELECT user_id, event_id,
+                 sum(vi) OVER w AS s1, sum(vi * vi) OVER w AS s2,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM (SELECT *, round(value * 10000)::BIGINT AS vi FROM events)
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         WHERE rn >= 8""",
+
+    "q06_stats_global" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt, round(avg(value), 4) AS avg_v,
+         round(stddev_pop(value), 4) AS std_v, round(min(value), 6) AS min_v,
+         round(max(value), 6) AS max_v,
+         round(quantile_cont(value, 0.5), 4) AS median_v
+         FROM events GROUP BY event_type""",
+
+    "q14_moving_minmax" ->
+      """SELECT user_id, event_id, round(mmin, 6) AS mmin, round(mmax, 6) AS mmax
+         FROM (SELECT user_id, event_id,
+                 min(value) OVER w AS mmin, max(value) OVER w AS mmax,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         WHERE rn >= 8""",
+
+    "q16_dedup_exact" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+         count(DISTINCT md5(text))::BIGINT AS n_hashes
+         FROM documents GROUP BY source""",
+
+    "q17_token_count" ->
+      """SELECT source,
+         sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS total_tokens,
+         round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens
+         FROM documents GROUP BY source""",
+
+    "q18_quality_score" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS n_uniq_tokens,
+         round(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+               / len(regexp_split_to_array(trim(text), '\s+')), 4) AS uniq_ratio,
+         round(length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+               / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+         FROM documents""",
+
+    "q23_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              s AS (SELECT q.qid, e.vec_id AS nid,
+                      list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+                    FROM embeddings e, q WHERE e.vec_id != q.qid)
+         SELECT qid AS query_id,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)::BIGINT AS rank,
+                nid AS neighbor_id
+         FROM s QUALIFY rank <= 5""",
+
+    "q26_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         round(avg(l_discount), 4) AS avg_disc
+         FROM lineitem GROUP BY 1, 2"""
+  )
 }
