@@ -1,24 +1,106 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): runs the SparkEntry queries on
+  * SPARK_GRAFT_SF_DIR and the transcript-corpus rollup+MP pipeline, then
+  * prints ONE JSON line.
+  *
+  * Headline metrics follow BASELINE.md: rolled-up points/sec across the
+  * raw→1m→1h→1d tiers and matrix-profile subsequences/sec on the
+  * synthetic transcript corpus. Scaling evidence (same job at local[N]
+  * vs local[4N]) is produced by running this main at two
+  * SPARK_GRAFT_CPUS values — see BENCH.md.
+  */
 object Bench {
+
+  /** Transcript-corpus benchmark: returns (points, rolledRows, subseqs,
+    * rollupSec, mpSec).
+    */
+  def pipelineBench(spark: SparkSession, numConvs: Int,
+      turnsScale: Int = 1): (Long, Long, Long, Double, Double) = {
+    import spark.implicits._
+    import graft.ingest.TranscriptGen
+    import graft.rollup.Rollup
+    import graft.schema.SeriesPoint
+    import graft.dist.DistributedMp
+    import graft.dist.DistributedMp.SeriesRow
+
+    // string-free points generation (values identical to deriving
+    // length(text) from the transcript table — asserted in tests)
+    val points = TranscriptGen.generatePoints(spark, numConvs,
+      turnsScale = turnsScale).cache()
+    val nPoints = points.count()
+
+    // generator output is conv-bucketed (one conversation per partition),
+    // matching an Iceberg bucket(conv_id) table read with storage-
+    // partitioned scans → the zero-shuffle tier plan applies; set
+    // SPARK_GRAFT_BENCH_GENERIC=1 to measure the generic-layout plan
+    val colocated = !sys.env.contains("SPARK_GRAFT_BENCH_GENERIC")
+    var t0 = System.nanoTime()
+    val m1 = (if (colocated) Rollup.rollupColocated(points, "1m")
+              else Rollup.rollupRaw(points, "1m")).cache()
+    val n1m = m1.count()
+    val h1 = (if (colocated) Rollup.rollupTierColocated(m1, "1h")
+              else Rollup.rollupTier(m1, "1h")).cache()
+    val n1h = h1.count()
+    val d1 = (if (colocated) Rollup.rollupTierColocated(h1, "1d")
+              else Rollup.rollupTier(h1, "1d"))
+    val n1d = d1.count()
+    val rollupSec = (System.nanoTime() - t0) / 1e9
+
+    t0 = System.nanoTime()
+    val tierPts = Rollup.tierSeries(m1)
+    val series = (if (colocated) graft.series.Derive.assembleColocated(tierPts)
+                  else graft.series.Derive.assemble(tierPts))
+      .map { case (c, k, s, v) => SeriesRow(c, k, s, v) }
+    val profiles = DistributedMp.mpxProfiles(series, 16, "1m").cache()
+    val nSubseq = profiles.select(sum(size($"mp"))).as[Long].first()
+    val mpSec = (System.nanoTime() - t0) / 1e9
+
+    points.unpersist(); m1.unpersist(); h1.unpersist()
+    profiles.unpersist()
+    (nPoints, n1m + n1h + n1d, nSubseq, rollupSec, mpSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000").toInt
+    val turnsScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS_SCALE", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
+    val results =
+      if (skipQueries) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+
+    val (nPoints, rolled, nSubseq, rollupSec, mpSec) =
+      pipelineBench(spark, benchConvs, turnsScale)
+    val pointsPerSec = nPoints / rollupSec
+    val subseqPerSec = nSubseq / mpSec
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""sf":"$sfDir","cpus":$cpus,"bench_convs":$benchConvs,""" +
+      f""""rollup_points":$nPoints,"rolled_rows":$rolled,"rollup_sec":$rollupSec%.3f,""" +
+      f""""points_per_sec":$pointsPerSec%.0f,""" +
+      f""""mp_subsequences":$nSubseq,"mp_sec":$mpSec%.3f,""" +
+      f""""subseq_per_sec":$subseqPerSec%.0f}""")
     spark.stop()
   }
 }

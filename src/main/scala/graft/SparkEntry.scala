@@ -307,6 +307,42 @@ object SparkEntry {
         .toDF("media_id", "kind", "dim", "feature_sum")
     }),
 
+    "q28_ab_join" -> ((s, dir) => {
+      import s.implicits._
+      // similarity join between each user's series and the global top user
+      // (the engine's AB-join / range-join analog)
+      val all = userSeries(s, dir)
+      val biggest = all.collect().maxBy(_.values.length)
+      val bc = s.sparkContext.broadcast(biggest)
+      all.filter(_.conv_id != biggest.conv_id).flatMap { sr =>
+        if (sr.values.length < 16) Iterator.empty
+        else {
+          val (mpA, _, _, _) = graft.kernels.Mpx.mpxAb(sr.values, bc.value.values, 8)
+          val finite = mpA.filter(v => !v.isInfinite && !v.isNaN)
+          if (finite.isEmpty) Iterator.empty
+          else Iterator((sr.conv_id.toLong, bc.value.conv_id.toLong,
+            BigDecimal(finite.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }.toDF("user_id", "query_user", "min_join_dist")
+    }),
+
+    "q29_annotation_vectors" -> ((s, dir) => {
+      import s.implicits._
+      // corrected matrix profile under the complexity annotation vector
+      // (ref transform.py:128-178): count of profile positions whose rank
+      // changes under correction
+      userSeries(s, dir).flatMap { sr =>
+        if (sr.values.length < 16) Iterator.empty
+        else {
+          val (mp, _) = graft.kernels.Mpx.mpxSelf(sr.values, 8)
+          val av = graft.kernels.AnnotationVectors.makeComplexityAv(sr.values, 8)
+          val cmp = graft.kernels.AnnotationVectors.applyAv(mp, av)
+          Iterator((sr.conv_id.toLong, mp.length,
+            graft.kernels.Core.argmin(mp).toLong, graft.kernels.Core.argmin(cmp).toLong))
+        }
+      }.toDF("user_id", "profile_len", "mp_argmin", "cmp_argmin")
+    }),
+
     // ---- flagship relational aggregate over lineitem ----
     "q26_pricing_summary" -> ((s, dir) => {
       import s.implicits._

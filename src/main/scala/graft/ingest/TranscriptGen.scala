@@ -115,13 +115,45 @@ object TranscriptGen {
       .map(t => t.copy(conv_id = "c_hot"))
   }
 
-  /** Distributed generation: one task per conversation-range. */
+  /** Token-length series points for one conversation WITHOUT materializing
+    * text — value = the exact length mkText would produce (`20 + pos(hash)`
+    * by construction, asserted equivalent in tests). Benchmark-scale
+    * generation path: no multi-GB string churn.
+    */
+  def genPoints(seed: Long, k: Long, turnsScale: Int = 1): Seq[graft.schema.SeriesPoint] = {
+    val convId = f"c$k%06d"
+    val h0 = hash(seed, k)
+    val nTurns = (24 + pos(hash(seed, k, 1), 200)) * turnsScale
+    val startMicros = EpochMicros + pos(h0, 86400) * 1000000L
+    var ts = startMicros
+    (0 until nTurns).map { i =>
+      val hi = hash(seed, k, 1000L + i)
+      val gapS = 10 + pos(hi, 290)
+      if (i > 0) ts += gapS * 1000000L
+      val len = 20 + pos(hash(seed, k, 2000L + i), 480)
+      graft.schema.SeriesPoint(convId, "tok", ts, len.toDouble)
+    }
+  }
+
+  /** Distributed string-free points generation (benchmark path). */
+  def generatePoints(spark: SparkSession, numConvs: Int, seed: Long = 42L,
+      turnsScale: Int = 1): Dataset[graft.schema.SeriesPoint] = {
+    import spark.implicits._
+    spark.range(0, numConvs.toLong, 1,
+        math.max(1, math.min(numConvs, spark.sparkContext.defaultParallelism * 2)))
+      .flatMap(k => genPoints(seed, k, turnsScale))
+  }
+
+  /** Distributed generation: one task per conversation-range.
+    * `turnsScale` multiplies every conversation's turn count (benchmark
+    * knob to make per-series compute dominate task overhead).
+    */
   def generate(spark: SparkSession, numConvs: Int, seed: Long = 42L,
-      includeFixtures: Boolean = true): Dataset[Transcript] = {
+      includeFixtures: Boolean = true, turnsScale: Int = 1): Dataset[Transcript] = {
     import spark.implicits._
     val base = spark.range(0, numConvs.toLong, 1,
         math.max(1, math.min(numConvs, spark.sparkContext.defaultParallelism * 2)))
-      .flatMap(k => genConversation(seed, k))
+      .flatMap(k => genConversation(seed, k, hotFactor = turnsScale))
     if (includeFixtures) {
       val fixtures = spark.createDataset(fixtureConversations(seed))
       base.union(fixtures)

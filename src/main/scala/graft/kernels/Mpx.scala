@@ -50,20 +50,26 @@ object Mpx {
     val n = ts.length
     val mp = buf.mp
     val mpi = buf.mpi
+    val df = st.df
+    val dg = st.dg
+    val sig = st.sig
+    val mu = st.mu
+    val mu0 = mu(0)
     var diag = diagStart
     while (diag < diagEnd) {
       var c = 0.0
+      val muD = mu(diag)
       var i = diag
       while (i < diag + w) {
-        c += (ts(i) - st.mu(diag)) * (ts(i - diag) - st.mu(0))
+        c += (ts(i) - muD) * (ts(i - diag) - mu0)
         i += 1
       }
       var offset = 0
       val offEnd = n - w - diag + 1
       while (offset < offEnd) {
         val col = offset + diag
-        c += st.df(offset) * st.dg(col) + st.df(col) * st.dg(offset)
-        var cCmp = c * st.sig(offset) * st.sig(col)
+        c += df(offset) * dg(col) + df(col) * dg(offset)
+        var cCmp = c * sig(offset) * sig(col)
         if (cCmp > mp(offset)) {
           mp(offset) = cCmp
           mpi(offset) = col

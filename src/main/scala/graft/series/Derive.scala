@@ -97,6 +97,55 @@ object Derive {
     filled.select($"conv_id", $"kind", $"bucket", $"value").as[SeriesPoint]
   }
 
+  /** Zero-shuffle assemble for conv-bucketed input (all rows of a
+    * conversation in one partition, e.g. after Rollup.rollupColocated):
+    * partition-local grouping, no exchange.
+    */
+  def assembleColocated(points: Dataset[SeriesPoint])
+      : Dataset[(String, String, Long, Array[Double])] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    // rows arrive sorted (conv, kind, bucket) within a partition →
+    // streaming group collection, O(series length) state
+    points.mapPartitions { it =>
+      new Iterator[(String, String, Long, Array[Double])] {
+        private var curConv: String = null
+        private var curKind: String = null
+        private var start = 0L
+        private var buckets = new scala.collection.mutable.ArrayBuffer[Long]()
+        private var values = new scala.collection.mutable.ArrayBuffer[Double]()
+        private var pending: (String, String, Long, Array[Double]) = null
+
+        private def emit(): Unit = {
+          if (curConv != null) {
+            val idx = buckets.zipWithIndex.sortBy(_._1)
+            pending = (curConv, curKind, idx.head._1, idx.map(p => values(p._2)).toArray)
+          }
+          buckets = new scala.collection.mutable.ArrayBuffer[Long]()
+          values = new scala.collection.mutable.ArrayBuffer[Double]()
+        }
+
+        private def absorb(p: SeriesPoint): Unit = {
+          if (curConv == null || curConv != p.conv_id || curKind != p.kind) {
+            emit()
+            curConv = p.conv_id
+            curKind = p.kind
+            start = p.bucket
+          }
+          buckets += p.bucket
+          values += p.value
+        }
+
+        def hasNext: Boolean = pending != null || curConv != null || it.hasNext
+        def next(): (String, String, Long, Array[Double]) = {
+          while (pending == null && it.hasNext) absorb(it.next())
+          if (pending == null) { emit(); curConv = null }
+          val r = pending; pending = null; r
+        }
+      }
+    }
+  }
+
   /** Assemble per-conversation contiguous value arrays ordered by bucket —
     * the Dataset ↔ kernel boundary. Returns (conv_id, kind, startBucket,
     * step, values).
@@ -104,11 +153,14 @@ object Derive {
   def assemble(points: Dataset[SeriesPoint]): Dataset[(String, String, Long, Array[Double])] = {
     val spark = points.sparkSession
     import spark.implicits._
+    // codegen'd path: struct sort orders by bucket (first field), so the
+    // whole group->array step stays inside the hash aggregate
     points
-      .groupByKey(p => (p.conv_id, p.kind))
-      .mapGroups { (key: (String, String), it: Iterator[SeriesPoint]) =>
-        val buf = it.map(p => (p.bucket, p.value)).toArray.sortBy(_._1)
-        (key._1, key._2, buf.head._1, buf.map(_._2))
-      }
+      .groupBy($"conv_id", $"kind")
+      .agg(sort_array(collect_list(struct($"bucket", $"value"))).as("pts"))
+      .select($"conv_id", $"kind",
+        element_at($"pts", 1).getField("bucket").as("start"),
+        transform($"pts", p => p.getField("value")).as("values"))
+      .as[(String, String, Long, Array[Double])]
   }
 }

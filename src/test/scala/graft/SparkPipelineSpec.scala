@@ -142,6 +142,46 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m1.forall(r => r.min == 64.0 && r.max == 64.0))
   }
 
+  test("colocated zero-shuffle rollup/assemble equals generic shuffle plan") {
+    import spark.implicits._
+    val pts = TranscriptGen.generatePoints(spark, 40)
+    def key(t: TierAgg) = (t.conv_id, t.kind, t.tier, t.bucket)
+    val generic = Rollup.rollupRaw(pts, "1m").collect().map(t => key(t) -> t).toMap
+    val coloc = Rollup.rollupColocated(pts, "1m").collect().map(t => key(t) -> t).toMap
+    assert(generic.keySet == coloc.keySet && generic.nonEmpty)
+    generic.foreach { case (k, g) =>
+      val c = coloc(k)
+      assert(g.cnt == c.cnt && math.abs(g.sum - c.sum) < 1e-9 &&
+        g.min == c.min && g.max == c.max && g.first == c.first && g.last == c.last, s"$k: $g vs $c")
+    }
+    val g1h = Rollup.rollupTier(Rollup.rollupRaw(pts, "1m"), "1h")
+      .collect().map(t => key(t) -> t).toMap
+    val c1h = Rollup.rollupTierColocated(Rollup.rollupColocated(pts, "1m"), "1h")
+      .collect().map(t => key(t) -> t).toMap
+    assert(g1h.keySet == c1h.keySet)
+    g1h.foreach { case (k, g) =>
+      val c = c1h(k)
+      assert(g.cnt == c.cnt && math.abs(g.sum - c.sum) < 1e-9 && g.first == c.first &&
+        g.last == c.last)
+    }
+    val ga = Derive.assemble(pts).collect().map(r => (r._1, r._2) -> r).toMap
+    val ca = Derive.assembleColocated(pts).collect().map(r => (r._1, r._2) -> r).toMap
+    assert(ga.keySet == ca.keySet)
+    ga.foreach { case (k, g) => assert(g._4.toSeq == ca(k)._4.toSeq && g._3 == ca(k)._3) }
+  }
+
+  test("string-free points generator equals length(text) derivation") {
+    import spark.implicits._
+    val transcripts = TranscriptGen.generate(spark, 15, includeFixtures = false)
+    val fromText = transcripts.select($"conv_id", lit("tok").as("kind"),
+      unix_micros($"ts".cast("timestamp")).as("bucket"),
+      length($"text").cast("double").as("value")).as[SeriesPoint]
+      .orderBy("conv_id", "bucket").collect().toSeq
+    val direct = TranscriptGen.generatePoints(spark, 15)
+      .orderBy("conv_id", "bucket").collect().toSeq
+    assert(fromText == direct)
+  }
+
   test("gorilla chunk codec round-trips through Spark") {
     import spark.implicits._
     val transcripts = TranscriptGen.generate(spark, 5)
@@ -150,6 +190,24 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a = pts.orderBy("conv_id", "bucket").collect().toSeq
     val b = decoded.orderBy("conv_id", "bucket").collect().toSeq
     assert(a == b)
+  }
+
+  test("profile IO round-trips through JSON and Parquet (ref io/__io.py)") {
+    import spark.implicits._
+    val rows = DistributedMp.mpxProfiles(
+      spark.createDataset(Seq(
+        DistributedMp.SeriesRow("c_sample", "gap_s", 0L, sampledata))), 32, "raw")
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    for (ext <- Seq("json", "parquet")) {
+      val path = s"$dir/profiles.$ext"
+      graft.run.ProfileIO.write(rows, path)
+      val back = graft.run.ProfileIO.read(spark, path).collect()
+      val orig = rows.collect()
+      assert(back.length == orig.length)
+      assertAlmostEqual(back.head.mp, orig.head.mp, decimal = 12)
+      assert(back.head.pi.toSeq == orig.head.pi.toSeq)
+      assert(back.head.w == 32 && back.head.algorithm == "mpx")
+    }
   }
 
   test("gorilla bitstream: adversarial doubles and timestamps") {
