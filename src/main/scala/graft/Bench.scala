@@ -39,15 +39,23 @@ object Bench {
     // SPARK_GRAFT_BENCH_GENERIC=1 to measure the generic-layout plan
     val colocated = !sys.env.contains("SPARK_GRAFT_BENCH_GENERIC")
     var t0 = System.nanoTime()
-    val m1 = (if (colocated) Rollup.rollupColocated(points, "1m")
-              else Rollup.rollupRaw(points, "1m")).cache()
-    val n1m = m1.count()
-    val h1 = (if (colocated) Rollup.rollupTierColocated(m1, "1h")
-              else Rollup.rollupTier(m1, "1h")).cache()
-    val n1h = h1.count()
-    val d1 = (if (colocated) Rollup.rollupTierColocated(h1, "1d")
-              else Rollup.rollupTier(h1, "1d"))
-    val n1d = d1.count()
+    var rolled = 0L
+    var cached: org.apache.spark.sql.Dataset[_] = null
+    val m1 =
+      if (colocated) {
+        // fused single-scan plan: one pass emits all three tiers
+        val all = Rollup.rollupAllColocated(points).cache()
+        cached = all
+        rolled = all.count()
+        all.where($"tier" === "1m").as[graft.schema.TierAgg]
+      } else {
+        val m = Rollup.rollupRaw(points, "1m").cache()
+        cached = m
+        val h = Rollup.rollupTier(m, "1h").cache()
+        rolled = m.count() + h.count() + Rollup.rollupTier(h, "1d").count()
+        h.unpersist()
+        m
+      }
     val rollupSec = (System.nanoTime() - t0) / 1e9
 
     t0 = System.nanoTime()
@@ -59,9 +67,10 @@ object Bench {
     val nSubseq = profiles.select(sum(size($"mp"))).as[Long].first()
     val mpSec = (System.nanoTime() - t0) / 1e9
 
-    points.unpersist(); m1.unpersist(); h1.unpersist()
+    points.unpersist()
+    if (cached != null) cached.unpersist()
     profiles.unpersist()
-    (nPoints, n1m + n1h + n1d, nSubseq, rollupSec, mpSec)
+    (nPoints, rolled, nSubseq, rollupSec, mpSec)
   }
 
   def main(args: Array[String]): Unit = {

@@ -343,6 +343,17 @@ object SparkEntry {
       }.toDF("user_id", "profile_len", "mp_argmin", "cmp_argmin")
     }),
 
+    "q30_hierarchical_clusters" -> ((s, dir) => {
+      import s.implicits._
+      // pairwise MPDist (distributed theta join) + driver-side linkage
+      // over the 8 longest user series
+      val top = userSeries(s, dir).collect().sortBy(-_.values.length).take(8)
+      val c = graft.dist.PairwiseDist.hierarchicalClusters(
+        s, top.map(_.values), 8, t = 3, maxClust = true)
+      s.createDataset(top.map(_.conv_id.toLong).zip(c.assignments).toSeq)
+        .toDF("user_id", "cluster")
+    }),
+
     // ---- flagship relational aggregate over lineitem ----
     "q26_pricing_summary" -> ((s, dir) => {
       import s.implicits._

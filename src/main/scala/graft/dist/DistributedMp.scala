@@ -14,6 +14,9 @@ import graft.schema.MpProfileRow
   * (the reference's per-thread buffers and batch merge — cympx.pyx:72-73,
   * stomp.py:340-357 — lifted to partition granularity).
   *
+  * Short and long series flow through ONE plan: a short series emits a
+  * single complete partial (merge is identity on it), a long series emits
+  * one partial per block — one input scan, one shuffle, map-side combine.
   * Each split task re-derives its seed state (muinvn stats + one O(w·n)
   * scan for MPX, one FFT for STOMP) exactly like the reference's non-zero
   * batches (stomp.py:103-105), so no state crosses task boundaries.
@@ -23,104 +26,116 @@ object DistributedMp {
   final case class SeriesRow(conv_id: String, kind: String, startBucket: Long,
       values: Array[Double])
 
-  /** MPX self-join profiles for every series. Series with
-    * length >= splitThreshold fan out over ~`blocksPerSplit` diagonal-block
-    * tasks.
-    */
+  /** MPX self-join profiles for every series with length >= 2w. */
   def mpxProfiles(series: Dataset[SeriesRow], w: Int, tier: String,
       splitThreshold: Int = 1 << 15, blocksPerSplit: Int = 16): Dataset[MpProfileRow] = {
     val spark = series.sparkSession
     import spark.implicits._
     val ez = math.ceil(w / 4.0).toInt
 
-    val small = series.filter(s => s.values.length < splitThreshold && s.values.length >= 2 * w)
-      .map { s =>
-        val (mp, pi) = Mpx.mpxSelf(s.values, w)
-        MpProfileRow(s.conv_id, s.kind, tier, w, ez, "mpx", "euclidean", join = false,
-          mp, pi, Array.empty, Array.empty, Array.empty, Array.empty)
-      }
-
-    // long series: fan out diagonal blocks, reduce partials via Aggregator
-    val blocks = series.filter(_.values.length >= splitThreshold)
-      .flatMap { s =>
+    // one scan: short series compute their complete partial in place; long
+    // series emit uncomputed block descriptors that are spread across
+    // tasks by the repartition below before the kernel runs
+    val tasks = series.flatMap { s =>
+      val n = s.values.length
+      if (n < 2 * w) Iterator.empty
+      else if (n < splitThreshold) {
         val st = Mpx.selfStats(s.values, w)
-        val total = st.profileLen - (st.minlag + 1)
-        val per = math.max(1, math.ceil(total.toDouble / blocksPerSplit).toInt)
-        (0 until blocksPerSplit).iterator.map { b =>
-          val lo = st.minlag + 1 + b.toLong * per
-          val hi = math.min(st.minlag + 1 + (b + 1).toLong * per, st.profileLen.toLong)
-          (s.conv_id, s.kind, lo, hi, s.values)
-        }.filter(t => t._3 < t._4)
-      }
-      .repartition($"_1", $"_3") // spread one series' blocks across tasks
-      .map { case (conv, kind, lo, hi, ts) =>
-        val st = Mpx.selfStats(ts, w)
         val buf = Mpx.newBuf(st.profileLen)
-        Mpx.selfJoinBlock(ts, w, st, lo.toInt, hi.toInt, buf)
-        (conv, kind, MpxPartial(buf.mp, buf.mpi))
+        Mpx.selfJoinBlock(s.values, w, st, st.minlag + 1, st.profileLen, buf)
+        Iterator((s.conv_id, s.kind, -1, -1,
+          Array.empty[Double], Some(MpxPartial(buf.mp, buf.mpi))))
+      } else {
+        val plen = n - w + 1
+        val minlag = math.ceil(w / 4.0).toInt
+        val total = plen - (minlag + 1)
+        val per = math.max(1, math.ceil(total.toDouble / blocksPerSplit).toInt)
+        (0 until blocksPerSplit).iterator
+          .map { b =>
+            val lo = minlag + 1 + b * per
+            val hi = math.min(minlag + 1 + (b + 1) * per, plen)
+            (lo, hi)
+          }
+          .filter { case (lo, hi) => lo < hi }
+          .map { case (lo, hi) =>
+            (s.conv_id, s.kind, lo, hi, s.values, None: Option[MpxPartial])
+          }
+      }
+    }
+
+    val partials = tasks
+      .repartition($"_1", $"_3") // spread one series' blocks across tasks
+      .map { case (conv, kind, lo, hi, ts, pre) =>
+        val p = pre.getOrElse {
+          val st = Mpx.selfStats(ts, w)
+          val buf = Mpx.newBuf(st.profileLen)
+          Mpx.selfJoinBlock(ts, w, st, lo, hi, buf)
+          MpxPartial(buf.mp, buf.mpi)
+        }
+        (conv, kind, p)
       }
 
     val mergeAgg = new ProfileMerge.MpxMaxMerge().toColumn
-    val big = blocks
+    partials
       .groupByKey { case (conv, kind, _) => (conv, kind) }
       .mapValues { case (_, _, p) => p }
       .agg(mergeAgg)
       .map { case ((conv, kind), partial) =>
         val buf = Mpx.PearsonBuf(partial.mp, partial.pi)
+        Mpx.clampBuf(buf)
         MpProfileRow(conv, kind, tier, w, ez, "mpx", "euclidean", join = false,
           Mpx.selfToEuclidean(buf, w), buf.mpi,
           Array.empty, Array.empty, Array.empty, Array.empty)
       }
-
-    small.union(big)
   }
 
-  /** STOMP profiles (with left/right profiles) for every series; long
-    * series split into row batches reduced by elementwise min.
-    */
+  /** STOMP profiles (with left/right profiles); same unified shape. */
   def stompProfiles(series: Dataset[SeriesRow], w: Int, tier: String,
       splitThreshold: Int = 1 << 15, batchesPerSplit: Int = 16): Dataset[MpProfileRow] = {
     val spark = series.sparkSession
     import spark.implicits._
     val ez = math.ceil(w / 2.0).toInt
 
-    def toRow(conv: String, kind: String, r: StompPartial): MpProfileRow =
-      MpProfileRow(conv, kind, tier, w, ez, "stomp", "euclidean", join = false,
-        r.mp, r.pi, r.lmp, r.lpi, r.rmp, r.rpi)
-
-    val small = series.filter(s => s.values.length < splitThreshold && s.values.length >= 2 * w)
-      .map { s =>
+    val tasks = series.flatMap { s =>
+      val n = s.values.length
+      if (n < 2 * w) Iterator.empty
+      else if (n < splitThreshold) {
         val r = Stomp.stomp(s.values, w)
-        toRow(s.conv_id, s.kind, StompPartial(r.mp, r.pi, r.lmp, r.lpi, r.rmp, r.rpi))
-      }
-
-    val batches = series.filter(_.values.length >= splitThreshold)
-      .flatMap { s =>
-        val plen = s.values.length - w + 1
+        Iterator((s.conv_id, s.kind, -1, -1, Array.empty[Double],
+          Some(StompPartial(r.mp, r.pi, r.lmp, r.lpi, r.rmp, r.rpi))))
+      } else {
+        val plen = n - w + 1
         Stomp.batchRanges(plen, batchesPerSplit).iterator.map { case (lo, hi) =>
-          (s.conv_id, s.kind, lo, hi, s.values)
+          (s.conv_id, s.kind, lo, hi, s.values, None: Option[StompPartial])
         }
       }
+    }
+
+    val partials = tasks
       .repartition($"_1", $"_3")
-      .map { case (conv, kind, lo, hi, tsRaw) =>
-        val plen = tsRaw.length - w + 1
-        val skip = graft.kernels.Core.findSkipLocations(tsRaw, plen, w)
-        val ts = graft.kernels.Core.cleanNanInf(tsRaw)
-        val (mu, sig) = graft.kernels.MovingStats.movingAvgStd(ts, w)
-        val firstProduct = graft.kernels.Fft.fftConvolve(ts,
-          java.util.Arrays.copyOfRange(ts, 0, w))
-        val b = Stomp.batchCompute(lo, hi, ts, ts, w, ez, isJoin = false,
-          mu, sig, firstProduct, skip)
-        (conv, kind, StompPartial(b.mp, b.pi, b.lmp, b.lpi, b.rmp, b.rpi))
+      .map { case (conv, kind, lo, hi, ts, pre) =>
+        val p = pre.getOrElse {
+          val plen = ts.length - w + 1
+          val skip = graft.kernels.Core.findSkipLocations(ts, plen, w)
+          val clean = graft.kernels.Core.cleanNanInf(ts)
+          val (mu, sig) = graft.kernels.MovingStats.movingAvgStd(clean, w)
+          val firstProduct = graft.kernels.Fft.fftConvolve(clean,
+            java.util.Arrays.copyOfRange(clean, 0, w))
+          val b = Stomp.batchCompute(lo, hi, clean, clean, w, ez, isJoin = false,
+            mu, sig, firstProduct, skip)
+          StompPartial(b.mp, b.pi, b.lmp, b.lpi, b.rmp, b.rpi)
+        }
+        (conv, kind, p)
       }
 
     val mergeAgg = new ProfileMerge.StompMinMerge().toColumn
-    val big = batches
+    partials
       .groupByKey { case (conv, kind, _) => (conv, kind) }
       .mapValues { case (_, _, p) => p }
       .agg(mergeAgg)
-      .map { case ((conv, kind), partial) => toRow(conv, kind, partial) }
-
-    small.union(big)
+      .map { case ((conv, kind), r) =>
+        MpProfileRow(conv, kind, tier, w, ez, "stomp", "euclidean", join = false,
+          r.mp, r.pi, r.lmp, r.lpi, r.rmp, r.rpi)
+      }
   }
 }

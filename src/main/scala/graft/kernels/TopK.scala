@@ -88,6 +88,67 @@ object TopK {
     motifs.toSeq
   }
 
+  final case class PmpMotif(motifs: ((Int, Long), (Int, Long)),
+      neighbors: Array[(Int, Long)])
+
+  /** PMP top-k motifs: global argmin over (window-row, col), neighbors by
+    * MASS re-query on the winning row's window (ref top_k_motifs.py:16-171).
+    * `pmp` rows must be Euclidean, padded to series length with ∞.
+    */
+  def pmpTopKMotifs(ts: Array[Double], pmp: Array[Array[Double]],
+      pmpi: Array[Array[Long]], windows: Array[Int],
+      exclusionZone: Option[Int] = None, k: Int = 3, maxNeighbors: Int = 10,
+      radius: Double = 3.0): Seq[PmpMotif] = {
+    val dataLen = ts.length
+    val tmp = pmp.map(row => row.map(v => if (Core.isNanInf(v)) Double.PositiveInfinity else v))
+    val profileLen = if (tmp.nonEmpty) tmp(0).length else 0
+    val motifs = scala.collection.mutable.ArrayBuffer.empty[PmpMotif]
+    var ki = 0
+    var done = false
+    while (ki < k && !done) {
+      var bestR = 0; var bestC = 0; var best = Double.PositiveInfinity
+      for (r <- tmp.indices; c <- tmp(r).indices)
+        if (tmp(r)(c) < best) { best = tmp(r)(c); bestR = r; bestC = c }
+      if (best.isInfinite || best.isNaN) done = true
+      else {
+        val w = windows(bestR)
+        val ez = exclusionZone.getOrElse(math.floor(w / 2.0).toInt)
+        val firstIdx = math.min(bestC.toLong, pmpi(bestR)(bestC))
+        val secondIdx = math.max(bestC.toLong, pmpi(bestR)(bestC))
+        val query = java.util.Arrays.copyOfRange(ts, firstIdx.toInt, firstIdx.toInt + w)
+        val dpShort = Mass2.mass2(ts, query)
+        val dp = Array.fill(profileLen)(Double.PositiveInfinity)
+        System.arraycopy(dpShort, 0, dp, 0, math.min(dpShort.length, profileLen))
+        var j = 0
+        while (j < profileLen) {
+          if (Core.isNanInf(pmp(bestR)(j))) dp(j) = Double.PositiveInfinity
+          j += 1
+        }
+        for (idx <- Seq(firstIdx, secondIdx)) {
+          Core.applyExclusionZone(ez, isJoin = false, w, dataLen, idx.toInt, dp)
+          Core.applyExclusionZone(ez, isJoin = false, w, dataLen, idx.toInt, tmp(bestR))
+        }
+        val neighbors = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var ni = 0
+        var nDone = false
+        while (ni < maxNeighbors && !nDone) {
+          val nIdx = Core.argmin(dp)
+          val nDist = dp(nIdx)
+          if (Core.isNanInf(nDist) || !(radius * best >= nDist)) nDone = true
+          else {
+            neighbors += ((bestR, nIdx.toLong))
+            Core.applyExclusionZone(ez, isJoin = false, w, dataLen, nIdx, dp)
+            Core.applyExclusionZone(ez, isJoin = false, w, dataLen, nIdx, tmp(bestR))
+          }
+          ni += 1
+        }
+        motifs += PmpMotif(((bestR, firstIdx), (bestR, secondIdx)), neighbors.toArray)
+      }
+      ki += 1
+    }
+    motifs.toSeq
+  }
+
   /** PMP top-k discords: global argmax over (window-row, col) with row-wise
     * exclusion (ref top_k_discords.py:16-91). `pmp` rows are Euclidean.
     */

@@ -26,21 +26,49 @@ object Dedup {
   }
 
 
-  /** MinHash signatures: k independent permutations approximated by
-    * (a*x+b) mod p over shingle hashes, all inside codegen via transform/
-    * aggregate — one row pass, no UDF.
+  /** MinHash signatures over word-k-shingles. The signature kernel runs
+    * typed (one pass over the shingle hashes, `numHashes` splitmix mixes
+    * per shingle) — the expression-tree alternative materializes
+    * `numHashes` boxed arrays per row and is an order of magnitude
+    * slower; banding/join/verify stay declarative.
     */
   def minhashSignature(docs: DataFrame, textCol: String, numHashes: Int = 64,
       shingleK: Int = 3): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), shingleK)
-    // k independent hash families via keyed xxhash64 (overflow-free under
-    // ANSI mode, same min-wise LSH property as (a*x+b) mod p)
-    val sigs = (0 until numHashes).map { i =>
-      array_min(transform($"shingles", x => xxhash64(x, lit(i))))
-    }
-    docs.withColumn("shingles", sh)
-      .where(size($"shingles") > 0)
-      .withColumn("minhash", array(sigs: _*))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.trim.toLowerCase.split("\\s+")
+          if (toks.length < shingleK) Iterator.empty
+          else {
+            val nSh = toks.length - shingleK + 1
+            val seen = new java.util.HashSet[Long]()
+            val shingles = new scala.collection.mutable.ArrayBuffer[Long](nSh)
+            val mins = Array.fill(numHashes)(Long.MaxValue)
+            var i = 0
+            while (i < nSh) {
+              var h = 1469598103934665603L
+              var j = 0
+              while (j < shingleK) {
+                h = graft.ingest.TranscriptGen.splitmix64(h ^ toks(i + j).hashCode.toLong)
+                j += 1
+              }
+              if (seen.add(h)) shingles += h
+              var f = 0
+              while (f < numHashes) {
+                val v = graft.ingest.TranscriptGen.splitmix64(h ^ (f * 0x9e3779b97f4a7c15L))
+                if (v < mins(f)) mins(f) = v
+                f += 1
+              }
+              i += 1
+            }
+            Iterator((id, shingles.toArray, mins))
+          }
+        }
+      }
+      .toDF("id", "shingles", "minhash")
   }
 
   /** LSH banding: explode signatures into (band, bucket) keys, self-join
@@ -48,10 +76,10 @@ object Dedup {
     * exact shingle Jaccard. `threshold` filters verified pairs.
     */
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 64, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignature(docs, textCol, numHashes)
-      .select(col(idCol).as("id"), $"minhash", $"shingles")
+    val sigs = minhashSignature(
+      docs.withColumnRenamed(idCol, "doc_id"), textCol, numHashes)
 
     val banded = sigs.select($"id", $"shingles",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

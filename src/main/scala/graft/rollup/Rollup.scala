@@ -108,28 +108,39 @@ object Rollup {
     // sort order conv_id, ts) → streaming aggregation with O(1) state
     points.mapPartitions { it =>
       new Iterator[TierAgg] {
-        private var cur: TierAgg = null
+        // mutable accumulator: one TierAgg allocation per emitted bucket,
+        // zero per-row allocation
+        private var conv: String = null
+        private var kind: String = null
+        private var bucket = 0L
+        private var cnt = 0L
+        private var sum, mn, mx, first, last = 0.0
         private var pending: TierAgg = null
+
+        private def flush(): Unit =
+          if (conv != null)
+            pending = TierAgg(conv, kind, tier, bucket, cnt, sum, mn, mx, first, last)
 
         private def absorb(p: SeriesPoint): Unit = {
           val b = p.bucket - math.floorMod(p.bucket, step)
-          if (cur == null || cur.conv_id != p.conv_id || cur.kind != p.kind ||
-              cur.bucket != b) {
-            pending = cur
-            cur = TierAgg(p.conv_id, p.kind, tier, b, 1L, p.value, p.value,
-              p.value, p.value, p.value)
+          if (conv == null || conv != p.conv_id || kind != p.kind || bucket != b) {
+            flush()
+            conv = p.conv_id; kind = p.kind; bucket = b
+            cnt = 1L; sum = p.value; mn = p.value; mx = p.value
+            first = p.value; last = p.value
           } else {
-            cur = cur.copy(cnt = cur.cnt + 1, sum = cur.sum + p.value,
-              min = math.min(cur.min, p.value), max = math.max(cur.max, p.value),
-              last = p.value)
+            cnt += 1; sum += p.value
+            if (p.value < mn) mn = p.value
+            if (p.value > mx) mx = p.value
+            last = p.value
           }
         }
 
-        def hasNext: Boolean = pending != null || cur != null || it.hasNext
+        def hasNext: Boolean = pending != null || conv != null || it.hasNext
         def next(): TierAgg = {
           while (pending == null && it.hasNext) absorb(it.next())
-          if (pending != null) { val r = pending; pending = null; r }
-          else { val r = cur; cur = null; r }
+          if (pending == null) { flush(); conv = null }
+          val r = pending; pending = null; r
         }
       }
     }
@@ -171,28 +182,113 @@ object Rollup {
     // (streaming output of rollupColocated) → streaming merge
     finer.mapPartitions { it =>
       new Iterator[TierAgg] {
-        private var cur: TierAgg = null
+        private var conv: String = null
+        private var kind: String = null
+        private var bucket = 0L
+        private var cnt = 0L
+        private var sum, mn, mx, first, last = 0.0
         private var pending: TierAgg = null
+
+        private def flush(): Unit =
+          if (conv != null)
+            pending = TierAgg(conv, kind, tier, bucket, cnt, sum, mn, mx, first, last)
 
         private def absorb(r: TierAgg): Unit = {
           val b = r.bucket - math.floorMod(r.bucket, step)
-          if (cur == null || cur.conv_id != r.conv_id || cur.kind != r.kind ||
-              cur.bucket != b) {
-            pending = cur
-            cur = TierAgg(r.conv_id, r.kind, tier, b, r.cnt, r.sum, r.min,
-              r.max, r.first, r.last)
+          if (conv == null || conv != r.conv_id || kind != r.kind || bucket != b) {
+            flush()
+            conv = r.conv_id; kind = r.kind; bucket = b
+            cnt = r.cnt; sum = r.sum; mn = r.min; mx = r.max
+            first = r.first; last = r.last
           } else {
-            cur = cur.copy(cnt = cur.cnt + r.cnt, sum = cur.sum + r.sum,
-              min = math.min(cur.min, r.min), max = math.max(cur.max, r.max),
-              last = r.last)
+            cnt += r.cnt; sum += r.sum
+            if (r.min < mn) mn = r.min
+            if (r.max > mx) mx = r.max
+            last = r.last
           }
         }
 
-        def hasNext: Boolean = pending != null || cur != null || it.hasNext
+        def hasNext: Boolean = pending != null || conv != null || it.hasNext
         def next(): TierAgg = {
           while (pending == null && it.hasNext) absorb(it.next())
-          if (pending != null) { val r = pending; pending = null; r }
-          else { val r = cur; cur = null; r }
+          if (pending == null) { flush(); conv = null }
+          val r = pending; pending = null; r
+        }
+      }
+    }
+  }
+
+  /** Fused single-scan rollup for conv-bucketed sorted input: one pass
+    * emits the 1m, 1h, and 1d tiers together by cascading each finished
+    * fine bucket into the coarser accumulator — no intermediate
+    * materialization between tiers.
+    */
+  def rollupAllColocated(points: Dataset[SeriesPoint]): Dataset[TierAgg] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val steps = Array("1m" -> TierStep("1m"), "1h" -> TierStep("1h"), "1d" -> TierStep("1d"))
+    points.mapPartitions { it =>
+      new Iterator[TierAgg] {
+        private val L = steps.length
+        private val conv = new Array[String](L)
+        private val kind = new Array[String](L)
+        private val bucket = new Array[Long](L)
+        private val cnt = new Array[Long](L)
+        private val sum = new Array[Double](L)
+        private val mn = new Array[Double](L)
+        private val mx = new Array[Double](L)
+        private val first = new Array[Double](L)
+        private val last = new Array[Double](L)
+        private val queue = new scala.collection.mutable.ArrayDeque[TierAgg](4)
+
+        /** flush level l into the queue and cascade into level l+1. */
+        private def flush(l: Int): Unit = {
+          if (conv(l) == null) return
+          queue.append(TierAgg(conv(l), kind(l), steps(l)._1, bucket(l),
+            cnt(l), sum(l), mn(l), mx(l), first(l), last(l)))
+          if (l + 1 < L) mergeUp(l + 1, conv(l), kind(l), bucket(l),
+            cnt(l), sum(l), mn(l), mx(l), first(l), last(l))
+          conv(l) = null
+        }
+
+        private def mergeUp(l: Int, c: String, k: String, fineBucket: Long,
+            n: Long, s: Double, lo: Double, hi: Double, f: Double, la: Double): Unit = {
+          val b = fineBucket - math.floorMod(fineBucket, steps(l)._2)
+          if (conv(l) == null || conv(l) != c || kind(l) != k || bucket(l) != b) {
+            flush(l)
+            conv(l) = c; kind(l) = k; bucket(l) = b
+            cnt(l) = n; sum(l) = s; mn(l) = lo; mx(l) = hi
+            first(l) = f; last(l) = la
+          } else {
+            cnt(l) += n; sum(l) += s
+            if (lo < mn(l)) mn(l) = lo
+            if (hi > mx(l)) mx(l) = hi
+            last(l) = la
+          }
+        }
+
+        private def absorb(p: SeriesPoint): Unit = {
+          val b = p.bucket - math.floorMod(p.bucket, steps(0)._2)
+          if (conv(0) == null || conv(0) != p.conv_id || kind(0) != p.kind ||
+              bucket(0) != b) {
+            flush(0)
+            conv(0) = p.conv_id; kind(0) = p.kind; bucket(0) = b
+            cnt(0) = 1L; sum(0) = p.value; mn(0) = p.value; mx(0) = p.value
+            first(0) = p.value; last(0) = p.value
+          } else {
+            cnt(0) += 1; sum(0) += p.value
+            if (p.value < mn(0)) mn(0) = p.value
+            if (p.value > mx(0)) mx(0) = p.value
+            last(0) = p.value
+          }
+        }
+
+        def hasNext: Boolean =
+          queue.nonEmpty || conv.exists(_ != null) || it.hasNext
+        def next(): TierAgg = {
+          while (queue.isEmpty && it.hasNext) absorb(it.next())
+          if (queue.isEmpty) (0 until L).foreach(flush) // end of partition
+          queue.removeHead()
         }
       }
     }

@@ -71,6 +71,26 @@ class DiscoverSpec extends AnyFunSuite {
     assert(s8(1).neighbors.sum == 232876L)
   }
 
+  test("pmp top-k motifs/discords over a long-form PMP") {
+    val ts = sampledata
+    val windows = Array(16, 32)
+    val rows = Skimp.skimp(ts, windows)
+    val pmp = rows.map(_.mp).toArray
+    val pmpi = rows.map(_.pi).toArray
+    val motifs = TopK.pmpTopKMotifs(ts, pmp, pmpi, windows, k = 2)
+    assert(motifs.nonEmpty && motifs.length <= 2)
+    // motif pair indices must be valid profile positions for their window
+    motifs.foreach { m =>
+      val (r, a) = m.motifs._1
+      val (_, b) = m.motifs._2
+      assert(a >= 0 && b >= 0 && a <= ts.length - windows(r))
+    }
+    val discords = TopK.pmpTopKDiscords(pmp, windows, k = 3)
+    assert(discords.length == 3)
+    // discord positions carry finite (non-padded) profile values
+    discords.foreach { case (r, c) => assert(!pmp(r)(c).isInfinite) }
+  }
+
   test("binary_split (test_skimp.py:22-33)") {
     assert(Skimp.binarySplit(1).toSeq == Seq(0))
     assert(Skimp.binarySplit(10).toSeq == Seq(0, 5, 2, 7, 1, 3, 6, 8, 4, 9))

@@ -170,6 +170,24 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     ga.foreach { case (k, g) => assert(g._4.toSeq == ca(k)._4.toSeq && g._3 == ca(k)._3) }
   }
 
+  test("fused single-scan rollup equals chained tier rollups") {
+    import spark.implicits._
+    val pts = TranscriptGen.generatePoints(spark, 40)
+    def key(t: TierAgg) = (t.conv_id, t.kind, t.tier, t.bucket)
+    val fused = Rollup.rollupAllColocated(pts).collect().map(t => key(t) -> t).toMap
+    val m1 = Rollup.rollupColocated(pts, "1m")
+    val h1 = Rollup.rollupTierColocated(m1, "1h")
+    val d1 = Rollup.rollupTierColocated(h1, "1d")
+    val chained = (m1.collect() ++ h1.collect() ++ d1.collect())
+      .map(t => key(t) -> t).toMap
+    assert(fused.keySet == chained.keySet && fused.nonEmpty)
+    chained.foreach { case (k, c) =>
+      val f = fused(k)
+      assert(f.cnt == c.cnt && math.abs(f.sum - c.sum) < 1e-9 && f.min == c.min &&
+        f.max == c.max && f.first == c.first && f.last == c.last, s"$k: $f vs $c")
+    }
+  }
+
   test("string-free points generator equals length(text) derivation") {
     import spark.implicits._
     val transcripts = TranscriptGen.generate(spark, 15, includeFixtures = false)
