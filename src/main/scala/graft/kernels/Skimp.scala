@@ -60,6 +60,15 @@ object Skimp {
     }
   }
 
+  /** Project one window's MP out of a PMP: select the row and trim the
+    * padding back to profile length n-w+1 (ref utils.py:45-100 `pick_mp`).
+    */
+  def pickMp(rows: Seq[PmpRow], w: Int, n: Int): Option[(Array[Double], Array[Long])] =
+    rows.find(_.window == w).map { r =>
+      val plen = n - w + 1
+      (java.util.Arrays.copyOf(r.mp, plen), java.util.Arrays.copyOf(r.pi, plen))
+    }
+
   /** Upper-window search: double from `lowerWindow` while max Pearson ≥
     * threshold, then refine in +refineStepsize increments, windows kept
     * even (ref skimp.py:245-381 `maximum_subsequence`).

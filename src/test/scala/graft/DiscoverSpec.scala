@@ -91,6 +91,17 @@ class DiscoverSpec extends AnyFunSuite {
     discords.foreach { case (r, c) => assert(!pmp(r)(c).isInfinite) }
   }
 
+  test("pick_mp projects a window row out of a PMP (utils.py:45-100)") {
+    val rows = Skimp.skimp(sampledata, Array(16, 32))
+    val picked = Skimp.pickMp(rows, 32, sampledata.length)
+    assert(picked.isDefined)
+    val (mp, pi) = picked.get
+    assert(mp.length == sampledata.length - 32 + 1)
+    assertAlmostEqual(mp, load("mpx_mp.txt"), decimal = 4)
+    assert(pi.toSeq == load("mpx_mpi.txt").map(_.toLong - 1).toSeq)
+    assert(Skimp.pickMp(rows, 99, sampledata.length).isEmpty)
+  }
+
   test("binary_split (test_skimp.py:22-33)") {
     assert(Skimp.binarySplit(1).toSeq == Seq(0))
     assert(Skimp.binarySplit(10).toSeq == Seq(0, 5, 2, 7, 1, 3, 6, 8, 4, 9))
