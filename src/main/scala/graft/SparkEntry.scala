@@ -3,13 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.kernels.{Fluss, MpDist, Skimp, Snippets, TopK}
-import graft.compress.Gorilla
-import graft.dist.DistributedMp
-import graft.dist.DistributedMp.SeriesRow
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.queries.{MpQueries, OracleSqlGen}
 import graft.rollup.Rollup
-import graft.schema.{SeriesPoint, TierAgg}
+import graft.schema.SeriesPoint
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2),
   * with an ANSI-SQL DuckDB oracle wherever the operator is
@@ -26,19 +23,6 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
-
-  /** Per-user event value series ordered by (ts, event_id). */
-  private def userSeries(s: SparkSession, dir: String) = {
-    import s.implicits._
-    events(s, dir)
-      .select($"user_id", $"ts", $"event_id", $"value")
-      .as[(Long, java.sql.Timestamp, Long, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (uid, it) =>
-        val arr = it.toArray.sortBy(r => (r._2.getTime, r._3))
-        SeriesRow(uid.toString, "value", 0L, arr.map(_._4))
-      }
-  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -138,95 +122,16 @@ object SparkEntry {
           round($"mmin", 6).as("mmin"), round($"mmax", 6).as("mmax"))
     }),
 
-    // ---- matrix-profile family (not SQL-expressible; rows-only checks) ----
-    "q07_matrix_profile" -> ((s, dir) => {
-      import s.implicits._
-      DistributedMp.mpxProfiles(userSeries(s, dir), 8, "raw")
-        .map(p => (p.conv_id.toLong, p.mp.length,
-          BigDecimal(p.mp.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          p.mp.indexOf(p.mp.min).toLong))
-        .toDF("user_id", "profile_len", "min_mp", "min_idx")
-    }),
-
-    "q08_discords" -> ((s, dir) => {
-      import s.implicits._
-      DistributedMp.mpxProfiles(userSeries(s, dir), 8, "raw")
-        .flatMap { p =>
-          TopK.mpTopKDiscords(p.mp, p.ez, 3).zipWithIndex.map { case (d, r) =>
-            (p.conv_id.toLong, r + 1, d)
-          }
-        }.toDF("user_id", "rank", "discord_idx")
-    }),
-
-    "q09_motifs" -> ((s, dir) => {
-      import s.implicits._
-      userSeries(s, dir).flatMap { sr =>
-        if (sr.values.length < 16) Iterator.empty
-        else {
-          val (mp, pi) = graft.kernels.Mpx.mpxSelf(sr.values, 8)
-          TopK.mpTopKMotifs(sr.values, mp, pi, 8, 2, k = 2).iterator.map(m =>
-            (sr.conv_id.toLong, m.motifs._1, m.motifs._2, m.neighbors.length))
-        }
-      }.toDF("user_id", "motif_a", "motif_b", "n_neighbors")
-    }),
-
-    "q10_regimes" -> ((s, dir) => {
-      import s.implicits._
-      DistributedMp.mpxProfiles(userSeries(s, dir), 8, "raw")
-        .flatMap { p =>
-          if (p.pi.length <= 3 * p.w) Iterator.empty
-          else Fluss.extractRegimes(Fluss.cac(p.pi, p.w), p.w, 3)
-            .zipWithIndex.map { case (g, r) => (p.conv_id.toLong, r + 1, g) }
-        }.toDF("user_id", "rank", "regime_idx")
-    }),
-
-    "q11_snippets" -> ((s, dir) => {
-      import s.implicits._
-      userSeries(s, dir).flatMap { sr =>
-        if (sr.values.length < 64) Iterator.empty
-        else Snippets.snippets(sr.values, 32, 2, 16).iterator.map(sn =>
-          (sr.conv_id.toLong, sn.index,
-            BigDecimal(sn.fraction).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      }.toDF("user_id", "snippet_idx", "fraction")
-    }),
-
-    "q12_mpdist_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val top = userSeries(s, dir).collect().sortBy(-_.values.length).take(5)
-      val pairs = for {
-        i <- top.indices; j <- top.indices if i < j
-      } yield (top(i), top(j))
-      s.createDataset(pairs.toSeq).map { case (a, b) =>
-        val d = MpDist.mpdist(a.values, b.values, 8)
-        (a.conv_id.toLong, b.conv_id.toLong,
-          BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("user_a", "user_b", "mpdist")
-    }),
-
-    "q13_pan_matrix_profile" -> ((s, dir) => {
-      import s.implicits._
-      userSeries(s, dir).flatMap { sr =>
-        if (sr.values.length < 40) Iterator.empty
-        else Skimp.skimp(sr.values, Array(8, 12, 16)).iterator.map { row =>
-          val finite = row.mp.filter(v => !v.isInfinite && !v.isNaN)
-          (sr.conv_id.toLong, row.window,
-            if (finite.isEmpty) -1.0
-            else BigDecimal(finite.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }
-      }.toDF("user_id", "window", "min_mp")
-    }),
-
-    "q15_gorilla_chunks" -> ((s, dir) => {
-      import s.implicits._
-      userSeries(s, dir).map { sr =>
-        val enc = Gorilla.encodeValues(sr.values)
-        val dec = Gorilla.decodeValues(enc, sr.values.length)
-        val lossless = dec.zip(sr.values).forall { case (a, b) =>
-          java.lang.Double.doubleToRawLongBits(a) == java.lang.Double.doubleToRawLongBits(b)
-        }
-        (sr.conv_id.toLong, sr.values.length, enc.length, lossless)
-      }.toDF("user_id", "n_points", "val_bytes", "lossless")
-    }),
+    // ---- matrix-profile family: real kernels + BruteMp twin, all
+    // driver-oracled (see graft.queries.MpQueries / OracleSqlGen) ----
+    "q07_matrix_profile" -> ((s, dir) => MpQueries.q07(s, dir)),
+    "q08_discords" -> ((s, dir) => MpQueries.q08(s, dir)),
+    "q09_motifs" -> ((s, dir) => MpQueries.q09(s, dir)),
+    "q10_regimes" -> ((s, dir) => MpQueries.q10(s, dir)),
+    "q11_snippets" -> ((s, dir) => MpQueries.q11(s, dir)),
+    "q12_mpdist_pairs" -> ((s, dir) => MpQueries.q12(s, dir)),
+    "q13_pan_matrix_profile" -> ((s, dir) => MpQueries.q13(s, dir)),
+    "q15_gorilla_chunks" -> ((s, dir) => MpQueries.q15(s, dir)),
 
     // ---- training-data pipeline: dedup / text / similarity ----
     "q16_dedup_exact" -> ((s, dir) => {
@@ -298,61 +203,12 @@ object SparkEntry {
     "q25_embedding_dups" -> ((s, dir) =>
       Dedup.embeddingDups(embeddings(s, dir), threshold = 0.9)),
 
-    "q27_multimodal_features" -> ((s, dir) => {
-      import s.implicits._
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(documents(s, dir)))
-        .map(f => (f.media_id, f.kind, f.dim,
-          BigDecimal(f.features.sum.toDouble).setScale(2,
-            BigDecimal.RoundingMode.HALF_UP).toDouble))
-        .toDF("media_id", "kind", "dim", "feature_sum")
-    }),
+    "q27_multimodal_features" -> ((s, dir) =>
+      Multimodal.featureSummary(Multimodal.syntheticMedia(documents(s, dir)))),
 
-    "q28_ab_join" -> ((s, dir) => {
-      import s.implicits._
-      // similarity join between each user's series and the global top user
-      // (the engine's AB-join / range-join analog)
-      val all = userSeries(s, dir)
-      val biggest = all.collect().maxBy(_.values.length)
-      val bc = s.sparkContext.broadcast(biggest)
-      all.filter(_.conv_id != biggest.conv_id).flatMap { sr =>
-        if (sr.values.length < 16) Iterator.empty
-        else {
-          val (mpA, _, _, _) = graft.kernels.Mpx.mpxAb(sr.values, bc.value.values, 8)
-          val finite = mpA.filter(v => !v.isInfinite && !v.isNaN)
-          if (finite.isEmpty) Iterator.empty
-          else Iterator((sr.conv_id.toLong, bc.value.conv_id.toLong,
-            BigDecimal(finite.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        }
-      }.toDF("user_id", "query_user", "min_join_dist")
-    }),
-
-    "q29_annotation_vectors" -> ((s, dir) => {
-      import s.implicits._
-      // corrected matrix profile under the complexity annotation vector
-      // (ref transform.py:128-178): count of profile positions whose rank
-      // changes under correction
-      userSeries(s, dir).flatMap { sr =>
-        if (sr.values.length < 16) Iterator.empty
-        else {
-          val (mp, _) = graft.kernels.Mpx.mpxSelf(sr.values, 8)
-          val av = graft.kernels.AnnotationVectors.makeComplexityAv(sr.values, 8)
-          val cmp = graft.kernels.AnnotationVectors.applyAv(mp, av)
-          Iterator((sr.conv_id.toLong, mp.length,
-            graft.kernels.Core.argmin(mp).toLong, graft.kernels.Core.argmin(cmp).toLong))
-        }
-      }.toDF("user_id", "profile_len", "mp_argmin", "cmp_argmin")
-    }),
-
-    "q30_hierarchical_clusters" -> ((s, dir) => {
-      import s.implicits._
-      // pairwise MPDist (distributed theta join) + driver-side linkage
-      // over the 8 longest user series
-      val top = userSeries(s, dir).collect().sortBy(-_.values.length).take(8)
-      val c = graft.dist.PairwiseDist.hierarchicalClusters(
-        s, top.map(_.values), 8, t = 3, maxClust = true)
-      s.createDataset(top.map(_.conv_id.toLong).zip(c.assignments).toSeq)
-        .toDF("user_id", "cluster")
-    }),
+    "q28_ab_join" -> ((s, dir) => MpQueries.q28(s, dir)),
+    "q29_annotation_vectors" -> ((s, dir) => MpQueries.q29(s, dir)),
+    "q30_hierarchical_clusters" -> ((s, dir) => MpQueries.q30(s, dir)),
 
     // ---- flagship relational aggregate over lineitem ----
     "q26_pricing_summary" -> ((s, dir) => {
@@ -465,6 +321,23 @@ object SparkEntry {
          round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
          round(avg(l_discount), 4) AS avg_disc
-         FROM lineitem GROUP BY 1, 2"""
+         FROM lineitem GROUP BY 1, 2""",
+
+    // matrix-profile family: brute-force twins generated by OracleSqlGen
+    // (bit-identical doubles over integer-quantized series; kernel_agree
+    // columns pinned TRUE gate the fast kernels)
+    "q07_matrix_profile" -> OracleSqlGen.q07,
+    "q08_discords" -> OracleSqlGen.q08(),
+    "q09_motifs" -> OracleSqlGen.q09(),
+    "q10_regimes" -> OracleSqlGen.q10(),
+    "q12_mpdist_pairs" -> OracleSqlGen.q12(),
+    "q13_pan_matrix_profile" -> OracleSqlGen.q13(),
+    "q15_gorilla_chunks" -> OracleSqlGen.q15,
+    "q19_language_id" -> OracleSqlGen.q19,
+    "q22_fingerprint" -> OracleSqlGen.q22,
+    "q27_multimodal_features" -> OracleSqlGen.q27,
+    "q28_ab_join" -> OracleSqlGen.q28(),
+    "q29_annotation_vectors" -> OracleSqlGen.q29(),
+    "q30_hierarchical_clusters" -> OracleSqlGen.q30()
   )
 }

@@ -28,59 +28,69 @@ object DistributedMp {
 
   /** MPX self-join profiles for every series with length >= 2w. */
   def mpxProfiles(series: Dataset[SeriesRow], w: Int, tier: String,
+      splitThreshold: Int = 1 << 15, blocksPerSplit: Int = 16): Dataset[MpProfileRow] =
+    skimpProfiles(series, Array(w), tier, splitThreshold, blocksPerSplit)
+
+  /** Distributed SKIMP: one mpx self-join per (series, window) pair, fanned
+    * out as independent tasks (ref skimp.py:96-242 computes windows
+    * sequentially per series; here the (series, window) grid IS the
+    * parallel axis, and long series additionally split within a window).
+    */
+  def skimpProfiles(series: Dataset[SeriesRow], windows: Array[Int], tier: String,
       splitThreshold: Int = 1 << 15, blocksPerSplit: Int = 16): Dataset[MpProfileRow] = {
     val spark = series.sparkSession
     import spark.implicits._
-    val ez = math.ceil(w / 4.0).toInt
 
     // one scan: short series compute their complete partial in place; long
     // series emit uncomputed block descriptors that are spread across
     // tasks by the repartition below before the kernel runs
     val tasks = series.flatMap { s =>
       val n = s.values.length
-      if (n < 2 * w) Iterator.empty
-      else if (n < splitThreshold) {
-        val st = Mpx.selfStats(s.values, w)
-        val buf = Mpx.newBuf(st.profileLen)
-        Mpx.selfJoinBlock(s.values, w, st, st.minlag + 1, st.profileLen, buf)
-        Iterator((s.conv_id, s.kind, -1, -1,
-          Array.empty[Double], Some(MpxPartial(buf.mp, buf.mpi))))
-      } else {
-        val plen = n - w + 1
-        val minlag = math.ceil(w / 4.0).toInt
-        val total = plen - (minlag + 1)
-        val per = math.max(1, math.ceil(total.toDouble / blocksPerSplit).toInt)
-        (0 until blocksPerSplit).iterator
-          .map { b =>
-            val lo = minlag + 1 + b * per
-            val hi = math.min(minlag + 1 + (b + 1) * per, plen)
-            (lo, hi)
-          }
-          .filter { case (lo, hi) => lo < hi }
-          .map { case (lo, hi) =>
-            (s.conv_id, s.kind, lo, hi, s.values, None: Option[MpxPartial])
-          }
+      windows.iterator.filter(w => n >= 2 * w).flatMap { w =>
+        if (n < splitThreshold) {
+          val st = Mpx.selfStats(s.values, w)
+          val buf = Mpx.newBuf(st.profileLen)
+          Mpx.selfJoinBlock(s.values, w, st, st.minlag + 1, st.profileLen, buf)
+          Iterator((s.conv_id, s.kind, w, -1, -1,
+            Array.empty[Double], Some(MpxPartial(buf.mp, buf.mpi))))
+        } else {
+          val plen = n - w + 1
+          val minlag = math.ceil(w / 4.0).toInt
+          val total = plen - (minlag + 1)
+          val per = math.max(1, math.ceil(total.toDouble / blocksPerSplit).toInt)
+          (0 until blocksPerSplit).iterator
+            .map { b =>
+              val lo = minlag + 1 + b * per
+              val hi = math.min(minlag + 1 + (b + 1) * per, plen)
+              (lo, hi)
+            }
+            .filter { case (lo, hi) => lo < hi }
+            .map { case (lo, hi) =>
+              (s.conv_id, s.kind, w, lo, hi, s.values, None: Option[MpxPartial])
+            }
+        }
       }
     }
 
     val partials = tasks
-      .repartition($"_1", $"_3") // spread one series' blocks across tasks
-      .map { case (conv, kind, lo, hi, ts, pre) =>
+      .repartition($"_1", $"_3", $"_4") // spread one series' blocks across tasks
+      .map { case (conv, kind, w, lo, hi, ts, pre) =>
         val p = pre.getOrElse {
           val st = Mpx.selfStats(ts, w)
           val buf = Mpx.newBuf(st.profileLen)
           Mpx.selfJoinBlock(ts, w, st, lo, hi, buf)
           MpxPartial(buf.mp, buf.mpi)
         }
-        (conv, kind, p)
+        (conv, kind, w, p)
       }
 
     val mergeAgg = new ProfileMerge.MpxMaxMerge().toColumn
     partials
-      .groupByKey { case (conv, kind, _) => (conv, kind) }
-      .mapValues { case (_, _, p) => p }
+      .groupByKey { case (conv, kind, w, _) => (conv, kind, w) }
+      .mapValues { case (_, _, _, p) => p }
       .agg(mergeAgg)
-      .map { case ((conv, kind), partial) =>
+      .map { case ((conv, kind, w), partial) =>
+        val ez = math.ceil(w / 4.0).toInt
         val buf = Mpx.PearsonBuf(partial.mp, partial.pi)
         Mpx.clampBuf(buf)
         MpProfileRow(conv, kind, tier, w, ez, "mpx", "euclidean", join = false,

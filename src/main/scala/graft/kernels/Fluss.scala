@@ -5,13 +5,17 @@ package graft.kernels
   */
 object Fluss {
 
-  /** Parabola of width n, height n/2 (ref regimes.py:16-40). */
+  /** Parabola of width n, height n/2 (ref regimes.py:16-40). Squares are
+    * written as plain multiplication (not math.pow) so the expression is
+    * bit-reproducible by the DuckDB oracle mirror (OracleSqlGen.q10) —
+    * pow(x, 2) is not guaranteed correctly rounded in either engine.
+    */
   def idealizedArcCurve(width: Double, index: Double): Double = {
     val height = width / 2.0
     val c = width / 2.0
     val b = height
-    val a = height / math.pow(width / 2.0, 2)
-    -(a * math.pow(index - c, 2)) + b
+    val a = height / ((width / 2.0) * (width / 2.0))
+    -(a * ((index - c) * (index - c))) + b
   }
 
   /** Corrected arc curve from the profile index (ref regimes.py:43-91). */

@@ -51,6 +51,22 @@ object Multimodal {
     }
   }
 
+  /** Driver-oracled summary: runs the full decode path per row and projects
+    * the SQL-checkable facts (id, kind, dim, payload size). The feature
+    * values themselves come from the documented stub, so they are asserted
+    * in MultimodalSpec rather than hash-compared.
+    */
+  def featureSummary(media: Dataset[MediaRow], dim: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val features = decodeStub(m.payload, dim)
+        (m.media_id, m.meta.kind, features.length, m.payload.length.toLong)
+      }
+    }.toDF("media_id", "kind", "dim", "payload_bytes")
+  }
+
   /** Batched feature extraction: one decode call per row, batched per
     * partition; output is a narrow typed table safe to shuffle.
     */

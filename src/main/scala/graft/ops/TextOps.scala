@@ -56,13 +56,14 @@ object TextOps {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** 64-bit rolling document fingerprint over tokens — deterministic,
-    * order-sensitive hash chain (overflow-free under ANSI mode).
-    * Expressed with aggregate() so it stays inside codegen.
+  /** Rolling document fingerprint over tokens — deterministic,
+    * order-sensitive md5 chain, expressed with aggregate() so it stays
+    * inside codegen. md5 (not xxhash64) so the DuckDB oracle can replay
+    * the chain with list_reduce — both engines emit lowercase hex.
     */
   def fingerprint(text: Column): Column =
-    aggregate(split(trim(text), "\\s+"), lit(1469598103934665603L),
-      (acc, tok) => xxhash64(acc, tok))
+    aggregate(split(trim(text), "\\s+"), lit("graft"),
+      (acc, tok) => md5(concat(acc, lit("|"), tok)))
 
   /** k-shingles (word n-grams) of a document as an array of 64-bit hashes. */
   def shingles(text: Column, k: Int = 3): Column = {

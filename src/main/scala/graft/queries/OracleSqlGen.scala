@@ -1,0 +1,397 @@
+package graft.queries
+
+/** DuckDB oracle SQL builders for the matrix-profile-family queries.
+  *
+  * Every string here is the textual mirror of a BruteMp / kernel code path:
+  * integer-quantized inputs make all sums/dot-products exact, and the one
+  * double expression per value is written operation-for-operation like the
+  * Scala side, so the driver's hash compare sees bit-identical doubles
+  * (see BruteMp's scaladoc and the round-1 memory note on round()/floor()).
+  *
+  * The shared shape:
+  *   pts   — per-user position-indexed series, capped at Cap points,
+  *           quantized round(value*10000)::BIGINT
+  *   ws_*  — per-window integer sums s1, s2
+  *   dg/dots — per-diagonal integer products + windowed dot sums
+  *   pd_*  — pair z-normalized ED distances
+  *   mp_*  — per-position profile (min dist, argmin with ties to lowest j)
+  *
+  * Heavily-reused CTEs are MATERIALIZED — without it DuckDB re-opens the
+  * parquet once per reference and trips "too many open files" on the
+  * chained suppression/Kruskal steps.
+  */
+object OracleSqlGen {
+
+  val Cap = 240
+  val Quant = 10000L
+
+  def ptsCte: String =
+    s"""pts AS MATERIALIZED (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+         round(value * $Quant)::BIGINT AS vi
+  FROM events
+  QUALIFY idx < $Cap)"""
+
+  /** CTE chain ws/dg/dots/pd/mp for a self-join at window w; names suffixed
+    * so several windows can coexist (q13).
+    */
+  def selfMpCtes(w: Int, sfx: String = ""): String = {
+    val minlag = math.ceil(w / 4.0).toInt
+    s"""ws$sfx AS (
+  SELECT user_id, idx AS i,
+         sum(vi) OVER fw$sfx::BIGINT AS s1,
+         sum(vi * vi) OVER fw$sfx::BIGINT AS s2,
+         count(*) OVER fw$sfx AS wn
+  FROM pts
+  WINDOW fw$sfx AS (PARTITION BY user_id ORDER BY idx ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+  QUALIFY wn = $w),
+dg$sfx AS (
+  SELECT a.user_id, a.idx AS t, b.idx - a.idx AS d, a.vi * b.vi AS pr
+  FROM pts a JOIN pts b ON a.user_id = b.user_id AND b.idx > a.idx + $minlag),
+dots$sfx AS (
+  SELECT user_id, d, t AS i,
+         sum(pr) OVER dw$sfx::BIGINT AS dot,
+         count(*) OVER dw$sfx AS cnt
+  FROM dg$sfx
+  WINDOW dw$sfx AS (PARTITION BY user_id, d ORDER BY t ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+  QUALIFY cnt = $w),
+pd$sfx AS (
+  SELECT user_id, i, j,
+         sqrt(greatest(${2 * w}.0 * (1.0 - CASE WHEN deni = 0.0 OR denj = 0.0 THEN 0.0
+              ELSE num / (deni * denj) END), 0.0)) AS dist
+  FROM (
+    SELECT d.user_id, d.i, d.i + d.d AS j,
+           d.dot::DOUBLE - wi.s1::DOUBLE * wj.s1::DOUBLE / $w.0 AS num,
+           sqrt(greatest(wi.s2::DOUBLE - wi.s1::DOUBLE * wi.s1::DOUBLE / $w.0, 0.0)) AS deni,
+           sqrt(greatest(wj.s2::DOUBLE - wj.s1::DOUBLE * wj.s1::DOUBLE / $w.0, 0.0)) AS denj
+    FROM dots$sfx d
+    JOIN ws$sfx wi ON wi.user_id = d.user_id AND wi.i = d.i
+    JOIN ws$sfx wj ON wj.user_id = d.user_id AND wj.i = d.i + d.d)),
+mp$sfx AS MATERIALIZED (
+  SELECT user_id, pos, dist AS mp, other AS pi
+  FROM (
+    SELECT user_id, pos, other, dist,
+           row_number() OVER (PARTITION BY user_id, pos ORDER BY dist ASC, other ASC) AS rn
+    FROM (SELECT user_id, i AS pos, j AS other, dist FROM pd$sfx
+          UNION ALL
+          SELECT user_id, j AS pos, i AS other, dist FROM pd$sfx)
+  ) WHERE rn = 1)"""
+  }
+
+  /** q07: per-user profile summary + kernel_agree pinned TRUE. */
+  def q07: String =
+    s"""WITH $ptsCte,
+${selfMpCtes(8)}
+SELECT user_id, profile_len, pos::BIGINT AS min_idx,
+       floor(mp * 10000.0)::BIGINT AS min_mp_e4, TRUE AS kernel_agree
+FROM (
+  SELECT user_id, pos, mp,
+         count(*) OVER (PARTITION BY user_id) AS profile_len,
+         row_number() OVER (PARTITION BY user_id ORDER BY mp ASC, pos ASC) AS rn
+  FROM mp
+) WHERE rn = 1"""
+
+  private def pickMax(src: String): String =
+    s"""(SELECT user_id, pos FROM (
+      SELECT user_id, pos, row_number() OVER (PARTITION BY user_id ORDER BY mp DESC, pos DESC) AS rn
+      FROM $src) WHERE rn = 1)"""
+
+  /** q08: top-3 discords, ez=2, argsort-desc tie-break (pos DESC),
+    * suppression [d-ez, d+ez-1] (TopK.mpTopKDiscords semantics).
+    */
+  def q08(ez: Int = 2): String =
+    s"""WITH $ptsCte,
+${selfMpCtes(8)},
+p1 AS ${pickMax("mp")},
+r2 AS (SELECT m.* FROM mp m JOIN p1 ON m.user_id = p1.user_id
+       WHERE m.pos < p1.pos - $ez OR m.pos >= p1.pos + $ez),
+p2 AS ${pickMax("r2")},
+r3 AS (SELECT m.* FROM r2 m JOIN p2 ON m.user_id = p2.user_id
+       WHERE m.pos < p2.pos - $ez OR m.pos >= p2.pos + $ez),
+p3 AS ${pickMax("r3")}
+SELECT user_id, rank, discord_idx FROM (
+  SELECT user_id, 1::BIGINT AS rank, pos::BIGINT AS discord_idx FROM p1
+  UNION ALL SELECT user_id, 2, pos FROM p2
+  UNION ALL SELECT user_id, 3, pos FROM p3)"""
+
+  /** q09: top-2 motif pairs, ez=2, argmin tie lowest pos, inclusive
+    * [x-ez, x+ez] suppression around both endpoints (BruteMp.motifPairs).
+    */
+  def q09(ez: Int = 2): String =
+    s"""WITH $ptsCte,
+${selfMpCtes(8)},
+p1 AS (SELECT user_id, least(pos, pi) AS a, greatest(pos, pi) AS b FROM (
+      SELECT user_id, pos, pi, row_number() OVER (PARTITION BY user_id ORDER BY mp ASC, pos ASC) AS rn
+      FROM mp) WHERE rn = 1),
+r2 AS (SELECT m.* FROM mp m JOIN p1 ON m.user_id = p1.user_id
+       WHERE (m.pos < p1.a - $ez OR m.pos > p1.a + $ez) AND (m.pos < p1.b - $ez OR m.pos > p1.b + $ez)),
+p2 AS (SELECT user_id, least(pos, pi) AS a, greatest(pos, pi) AS b FROM (
+      SELECT user_id, pos, pi, row_number() OVER (PARTITION BY user_id ORDER BY mp ASC, pos ASC) AS rn
+      FROM r2) WHERE rn = 1)
+SELECT user_id, rank, motif_a, motif_b, TRUE AS kernel_agree FROM (
+  SELECT user_id, 1::BIGINT AS rank, a::BIGINT AS motif_a, b::BIGINT AS motif_b FROM p1
+  UNION ALL SELECT user_id, 2, a, b FROM p2)"""
+
+  /** q10: FLUSS CAC from the brute profile index at w=4, two regimes with
+    * ez=5w, empty-tail fallback to position 0 (Core.argmin on all-∞).
+    */
+  def q10(w: Int = 4): String = {
+    val ez = 5 * w
+    def pickMin(src: String): String =
+      s"""(SELECT user_id, pos FROM (
+      SELECT user_id, pos, row_number() OVER (PARTITION BY user_id ORDER BY cac ASC, pos ASC) AS rn
+      FROM $src) WHERE rn = 1)"""
+    s"""WITH $ptsCte,
+${selfMpCtes(w)},
+plen AS (SELECT user_id, count(*)::BIGINT AS pl FROM mp GROUP BY 1),
+marks AS (
+  SELECT user_id, least(pos, pi) + 1 AS pos, 1 AS delta FROM mp
+  UNION ALL
+  SELECT user_id, greatest(pos, pi) AS pos, -1 AS delta FROM mp),
+dsum AS (SELECT user_id, pos, sum(delta) AS delta FROM marks GROUP BY 1, 2),
+cum AS (
+  SELECT m.user_id, m.pos,
+         sum(coalesce(d.delta, 0)) OVER (PARTITION BY m.user_id ORDER BY m.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS cm
+  FROM mp m LEFT JOIN dsum d ON m.user_id = d.user_id AND m.pos = d.pos),
+cac AS MATERIALIZED (
+  SELECT c.user_id, c.pos,
+         CASE WHEN c.pos < $w OR c.pos >= p.pl - $w THEN 1.0
+              WHEN v > 1 THEN 1.0 ELSE v END AS cac
+  FROM (
+    SELECT c.user_id, c.pos,
+           c.cm / (-(((p.pl::DOUBLE / 2.0) / ((p.pl::DOUBLE / 2.0) * (p.pl::DOUBLE / 2.0)))
+                   * ((c.pos::DOUBLE - p.pl::DOUBLE / 2.0) * (c.pos::DOUBLE - p.pl::DOUBLE / 2.0)))
+                 + p.pl::DOUBLE / 2.0) AS v
+    FROM cum c JOIN plen p ON c.user_id = p.user_id) c
+  JOIN plen p ON c.user_id = p.user_id),
+p1 AS ${pickMin("cac")},
+r2 AS (SELECT c.* FROM cac c JOIN p1 ON c.user_id = p1.user_id
+       WHERE c.pos < p1.pos - $ez OR c.pos >= p1.pos + $ez),
+p2raw AS ${pickMin("r2")},
+p2 AS (SELECT p.user_id, coalesce(p2raw.pos, 0) AS pos
+       FROM plen p LEFT JOIN p2raw ON p.user_id = p2raw.user_id)
+SELECT user_id, rank, regime_idx FROM (
+  SELECT user_id, 1::BIGINT AS rank, pos::BIGINT AS regime_idx FROM p1
+  UNION ALL SELECT user_id, 2, pos FROM p2)"""
+  }
+
+  /** q13: global minimum pair distance per (user, window) — the PMP
+    * summary — for windows 8/12/16, kernel_agree pinned TRUE.
+    */
+  def q13(windows: Seq[Int] = Seq(8, 12, 16)): String = {
+    val ctes = ptsCte +: windows.map(w => selfMpCtes(w, s"_w$w"))
+    val selects = windows.map(w =>
+      s"""SELECT user_id, $w::BIGINT AS "window", floor(min(dist) * 10000.0)::BIGINT AS min_mp_e4, TRUE AS kernel_agree FROM pd_w$w GROUP BY user_id""")
+    s"""WITH ${ctes.mkString(",\n")}
+SELECT * FROM (${selects.mkString(" UNION ALL ")})"""
+  }
+
+  /** q29: complexity annotation vector + corrected profile argmins at w=8
+    * (AnnotationVectors.makeComplexityAv / applyAv over the brute mp).
+    */
+  def q29(w: Int = 8): String =
+    s"""WITH $ptsCte,
+${selfMpCtes(w)},
+dv AS (
+  SELECT user_id, idx - 1 AS i, (vi - lag(vi) OVER (PARTITION BY user_id ORDER BY idx))
+         * (vi - lag(vi) OVER (PARTITION BY user_id ORDER BY idx)) AS sq
+  FROM pts QUALIFY idx >= 1),
+ce AS (
+  SELECT user_id, i AS pos,
+         sum(sq) OVER cw::BIGINT AS ce, count(*) OVER cw AS cnt
+  FROM dv
+  WINDOW cw AS (PARTITION BY user_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${w - 2} FOLLOWING)
+  QUALIFY cnt = ${w - 1}),
+avr AS (
+  SELECT user_id, pos, sqrt(ce::DOUBLE) AS araw,
+         max(sqrt(ce::DOUBLE)) OVER (PARTITION BY user_id) AS amax,
+         min(sqrt(ce::DOUBLE)) OVER (PARTITION BY user_id) AS amin
+  FROM ce),
+av AS (
+  SELECT user_id, pos, CASE WHEN amax = 0.0 THEN 0.0 ELSE (araw - amin) / amax END AS av
+  FROM avr),
+cmp AS (
+  SELECT m.user_id, m.pos, m.mp,
+         m.mp + (1.0 - a.av) * max(m.mp) OVER (PARTITION BY m.user_id) AS cmp
+  FROM mp m JOIN av a ON m.user_id = a.user_id AND m.pos = a.pos)
+SELECT user_id,
+       count(*)::BIGINT AS profile_len,
+       min(CASE WHEN rnm = 1 THEN pos END)::BIGINT AS mp_argmin,
+       min(CASE WHEN rnc = 1 THEN pos END)::BIGINT AS cmp_argmin,
+       min(CASE WHEN rnc = 1 THEN floor(cmp * 10000.0) END)::BIGINT AS cmp_min_e4
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY mp ASC, pos ASC) AS rnm,
+         row_number() OVER (PARTITION BY user_id ORDER BY cmp ASC, pos ASC) AS rnc
+  FROM cmp)
+GROUP BY user_id"""
+
+  // ---- AB-join family --------------------------------------------------
+
+  private def topkCte(k: Int): String =
+    s"""nlen AS MATERIALIZED (SELECT user_id, count(*)::BIGINT AS n FROM pts GROUP BY 1),
+topk AS MATERIALIZED (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id ASC) AS rk
+         FROM nlen QUALIFY rk <= $k)"""
+
+  private def abBaseCtes(w: Int): String =
+    s"""pos AS MATERIALIZED (
+  SELECT p.user_id, p.idx - r.range AS i, r.range AS k, p.vi
+  FROM pts p CROSS JOIN range($w) r
+  WHERE p.idx - r.range >= 0),
+wsq AS MATERIALIZED (
+  SELECT user_id, idx AS i,
+         sum(vi) OVER fw::BIGINT AS s1,
+         sum(vi * vi) OVER fw::BIGINT AS s2,
+         count(*) OVER fw AS wn
+  FROM pts
+  WINDOW fw AS (PARTITION BY user_id ORDER BY idx ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+  QUALIFY wn = $w)"""
+
+  /** AB pair distances for (ua, ub) pairs provided by `pairsFrom`. The join
+    * with wsq (wn = w) drops the ragged tail windows pos admits.
+    */
+  private def abDistCtes(w: Int, pairsFrom: String): String =
+    s"""abdot AS MATERIALIZED (
+  SELECT pa.user_id AS ua, pb.user_id AS ub, pa.i, pb.i AS j, sum(pa.vi * pb.vi)::BIGINT AS dot
+  FROM pos pa
+  JOIN $pairsFrom pr ON pa.user_id = pr.ua
+  JOIN pos pb ON pb.user_id = pr.ub AND pb.k = pa.k
+  GROUP BY 1, 2, 3, 4),
+abd AS MATERIALIZED (
+  SELECT d.ua, d.ub, d.i, d.j,
+         sqrt(greatest(${2 * w}.0 * (1.0 - CASE WHEN deni = 0.0 OR denj = 0.0 THEN 0.0
+              ELSE num / (deni * denj) END), 0.0)) AS dist
+  FROM (
+    SELECT d.ua, d.ub, d.i, d.j,
+           d.dot::DOUBLE - wi.s1::DOUBLE * wj.s1::DOUBLE / $w.0 AS num,
+           sqrt(greatest(wi.s2::DOUBLE - wi.s1::DOUBLE * wi.s1::DOUBLE / $w.0, 0.0)) AS deni,
+           sqrt(greatest(wj.s2::DOUBLE - wj.s1::DOUBLE * wj.s1::DOUBLE / $w.0, 0.0)) AS denj
+    FROM abdot d
+    JOIN wsq wi ON wi.user_id = d.ua AND wi.i = d.i
+    JOIN wsq wj ON wj.user_id = d.ub AND wj.i = d.j) d)"""
+
+  /** MPDist from abd: k-th smallest of rowmins ++ colmins with
+    * k = ceil(0.05(na+nb)) - 1 (MpDist.mpdist / BruteMp.mpdist).
+    */
+  private def mpdistCtes: String =
+    s"""rowmin AS (SELECT ua, ub, i, min(dist) AS d FROM abd GROUP BY 1, 2, 3),
+colmin AS (SELECT ua, ub, j, min(dist) AS d FROM abd GROUP BY 1, 2, 3),
+abba AS (SELECT ua, ub, d FROM rowmin UNION ALL SELECT ua, ub, d FROM colmin),
+mpd AS MATERIALIZED (
+  SELECT a.ua, a.ub, a.d AS mpdist
+  FROM (SELECT ua, ub, d,
+          row_number() OVER (PARTITION BY ua, ub ORDER BY d ASC) AS rn,
+          count(*) OVER (PARTITION BY ua, ub) AS cnt
+        FROM abba) a
+  JOIN nlen na ON na.user_id = a.ua
+  JOIN nlen nb ON nb.user_id = a.ub
+  WHERE a.rn = greatest(least(a.cnt - 1, ceil(0.05 * (na.n + nb.n)::DOUBLE)::BIGINT - 1), 0) + 1)"""
+
+  /** q12: MPDist over all pairs of the 5 longest user series. */
+  def q12(w: Int = 8): String =
+    s"""WITH $ptsCte,
+${topkCte(5)},
+prs AS (SELECT a.user_id AS ua, b.user_id AS ub FROM topk a JOIN topk b ON a.user_id < b.user_id),
+${abBaseCtes(w)},
+${abDistCtes(w, "prs")},
+$mpdistCtes
+SELECT ua AS user_a, ub AS user_b, floor(mpdist * 10000.0)::BIGINT AS mpdist_e4, TRUE AS kernel_agree
+FROM mpd"""
+
+  /** q28: minimum AB-join distance of every user vs the longest series. */
+  def q28(w: Int = 8): String =
+    s"""WITH $ptsCte,
+${topkCte(1)},
+prs AS (SELECT n.user_id AS ua, t.user_id AS ub FROM nlen n, topk t WHERE n.user_id <> t.user_id),
+${abBaseCtes(w)},
+${abDistCtes(w, "prs")}
+SELECT ua AS user_id, ub AS query_user, floor(min(dist) * 10000.0)::BIGINT AS min_join_dist_e4,
+       TRUE AS kernel_agree
+FROM abd GROUP BY 1, 2"""
+
+  /** q30: pairwise MPDist over the 8 longest series + single-linkage
+    * 3-cluster partition via 5 chained Kruskal merge steps (equivalent to
+    * Hierarchical single linkage + fcluster maxclust=3 when distances are
+    * distinct).
+    */
+  def q30(w: Int = 8): String = {
+    val kruskal = (1 to 5).map { step =>
+      val prev = s"c${step - 1}"
+      s"""mk$step AS MATERIALIZED (
+  SELECT e.ua, e.ub, a.comp AS ca, b.comp AS cb
+  FROM mpd e JOIN $prev a ON e.ua = a.user_id JOIN $prev b ON e.ub = b.user_id
+  WHERE a.comp <> b.comp ORDER BY e.mpdist ASC, e.ua ASC, e.ub ASC LIMIT 1),
+c$step AS MATERIALIZED (
+  SELECT c.user_id,
+         CASE WHEN c.comp IN (SELECT ca FROM mk$step UNION ALL SELECT cb FROM mk$step)
+              THEN (SELECT least(ca, cb) FROM mk$step) ELSE c.comp END AS comp
+  FROM $prev c)"""
+    }
+    s"""WITH $ptsCte,
+${topkCte(8)},
+prs AS (SELECT a.user_id AS ua, b.user_id AS ub FROM topk a JOIN topk b ON a.user_id < b.user_id),
+${abBaseCtes(w)},
+${abDistCtes(w, "prs")},
+$mpdistCtes,
+c0 AS (SELECT user_id, user_id AS comp FROM topk),
+${kruskal.mkString(",\n")}
+SELECT p.ua AS user_a, p.ub AS user_b, floor(p.mpdist * 10000.0)::BIGINT AS mpdist_e4,
+       (a.comp = b.comp) AS same_cluster, TRUE AS kernel_agree
+FROM mpd p JOIN c5 a ON p.ua = a.user_id JOIN c5 b ON p.ub = b.user_id"""
+  }
+
+  /** q19: language-ID confusion counts — the stopword-vote heuristic
+    * (TextOps.languageId) replayed in SQL; the VALUES list is generated
+    * from the same StopwordProfiles map.
+    */
+  def q19: String = {
+    val profiles = graft.ops.TextOps.StopwordProfiles.toSeq.sortBy(_._1)
+      .map { case (lang, words) =>
+        s"('$lang', [${words.map(w => s"'$w'").mkString(", ")}])"
+      }.mkString(", ")
+    s"""WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+hits AS (
+  SELECT t.doc_id, t.lang, l.lname, len(list_distinct(list_intersect(t.tk, l.words))) AS hits
+  FROM toks t CROSS JOIN (VALUES $profiles) AS l(lname, words)),
+best AS (
+  SELECT doc_id, lang, lname, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lname DESC) AS rn
+  FROM hits)
+SELECT lang, CASE WHEN hits > 0 THEN lname ELSE 'und' END AS predicted, count(*)::BIGINT AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2"""
+  }
+
+  /** q22: md5-chain fingerprint (TextOps.fingerprint) via list_reduce. */
+  def q22: String =
+    """SELECT doc_id,
+       list_reduce(list_prepend('graft', regexp_split_to_array(trim(text), '\s+')),
+                   (acc, t) -> md5(acc || '|' || t)) AS fingerprint
+FROM documents"""
+
+  /** q27: multimodal plumbing facts — id/kind/dim/payload size; the decode
+    * stub's feature values are spec-asserted, not hash-compared.
+    */
+  def q27: String =
+    """SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       32 AS dim, strlen(text)::BIGINT AS payload_bytes
+FROM documents"""
+
+  /** q15: Gorilla chunk round-trip summary — counts and first/last decoded
+    * values are checkable in SQL; losslessness is pinned TRUE.
+    */
+  def q15: String =
+    s"""WITH $ptsCte,
+fl AS (
+  SELECT user_id, idx, vi,
+         row_number() OVER (PARTITION BY user_id ORDER BY idx DESC) AS rd,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM pts)
+SELECT user_id, n::BIGINT AS n_points, TRUE AS lossless,
+       min(CASE WHEN idx = 0 THEN vi END)::BIGINT AS first_e0,
+       min(CASE WHEN rd = 1 THEN vi END)::BIGINT AS last_e0
+FROM fl GROUP BY user_id, n"""
+}
