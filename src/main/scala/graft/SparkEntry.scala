@@ -187,7 +187,7 @@ object SparkEntry {
 
     "q24_ann_lsh_recall" -> ((s, dir) => {
       import s.implicits._
-      val e = embeddings(s, dir)
+      val e = embeddings(s, dir).select($"vec_id", $"embedding")
       val q = e.where($"vec_id" < 20)
       val brute = Similarity.bruteForceTopK(e, q, 10)
         .select($"query_id", $"neighbor_id")
@@ -196,12 +196,24 @@ object SparkEntry {
       brute.join(approx, brute("query_id") === $"aq" && brute("neighbor_id") === $"an",
           "left")
         .groupBy($"query_id")
-        .agg((count($"an") / count(lit(1))).as("recall_raw"))
-        .select($"query_id", round($"recall_raw", 2).as("recall"))
+        .agg(count($"an").as("n_hits"))
+        .select($"query_id", $"n_hits")
     }),
 
-    "q25_embedding_dups" -> ((s, dir) =>
-      Dedup.embeddingDups(embeddings(s, dir), threshold = 0.9)),
+    "q25_embedding_dups" -> ((s, dir) => {
+      import s.implicits._
+      // the synthetic corpus has no natural near-dups (max off-diagonal
+      // cosine ~0.51), so plant deterministic near-copies of the first 20
+      // vectors (one component +0.25f) — the recall path then has real
+      // work, and the oracle replants identically
+      val base = embeddings(s, dir).select($"vec_id", $"embedding")
+      val planted = base.where($"vec_id" < 20)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding",
+            (x, i) => when(i === pmod($"vec_id", lit(64)).cast("int"), x + lit(0.25f))
+              .otherwise(x)).as("embedding"))
+      Dedup.embeddingDups(base.union(planted), threshold = 0.9)
+    }),
 
     "q27_multimodal_features" -> ((s, dir) =>
       Multimodal.featureSummary(Multimodal.syntheticMedia(documents(s, dir)))),
@@ -330,11 +342,16 @@ object SparkEntry {
     "q08_discords" -> OracleSqlGen.q08(),
     "q09_motifs" -> OracleSqlGen.q09(),
     "q10_regimes" -> OracleSqlGen.q10(),
+    "q11_snippets" -> OracleSqlGen.q11(),
     "q12_mpdist_pairs" -> OracleSqlGen.q12(),
     "q13_pan_matrix_profile" -> OracleSqlGen.q13(),
     "q15_gorilla_chunks" -> OracleSqlGen.q15,
     "q19_language_id" -> OracleSqlGen.q19,
+    "q20_minhash_lsh" -> OracleSqlGen.q20(),
+    "q21_simhash_pairs" -> OracleSqlGen.q21(),
     "q22_fingerprint" -> OracleSqlGen.q22,
+    "q24_ann_lsh_recall" -> OracleSqlGen.q24(),
+    "q25_embedding_dups" -> OracleSqlGen.q25(),
     "q27_multimodal_features" -> OracleSqlGen.q27,
     "q28_ab_join" -> OracleSqlGen.q28(),
     "q29_annotation_vectors" -> OracleSqlGen.q29(),

@@ -1,13 +1,19 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops.ColSyntax._
 
 /** Deduplication operators over a documents table: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard verification. All stages are shuffle-lean:
   * candidate generation goes through band/bucket equi-joins (hash
-  * shuffles on small keys), never an all-pairs cross join.
+  * shuffles on small keys, id-only payloads), never an all-pairs cross
+  * join; array payloads (shingle sets) are re-joined by id only for the
+  * verify stage.
+  *
+  * Hashing is md5-based (JDK MessageDigest in the typed kernels) so the
+  * driver's DuckDB oracle can replay signatures, banding, and verification
+  * byte-for-byte (both engines emit lowercase md5 hex).
   */
 object Dedup {
 
@@ -25,14 +31,27 @@ object Dedup {
       .select(col(idCol), $"content_hash", $"group_size", $"keep")
   }
 
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
 
-  /** MinHash signatures over word-k-shingles. The signature kernel runs
-    * typed (one pass over the shingle hashes, `numHashes` splitmix mixes
-    * per shingle) — the expression-tree alternative materializes
-    * `numHashes` boxed arrays per row and is an order of magnitude
-    * slower; banding/join/verify stay declarative.
+  /** MinHash signatures over word-k-shingle TEXTS: sig(f) = lexicographic
+    * min of md5(f ':' shingle) over the document's distinct shingles — a
+    * valid min-hash family whose values a SQL engine reproduces exactly.
+    * One typed pass per document (the expression-tree alternative
+    * materializes numHashes arrays per row and is ~an order of magnitude
+    * slower). Returns (id, shingles: distinct texts, minhash: hex strings).
     */
-  def minhashSignature(docs: DataFrame, textCol: String, numHashes: Int = 64,
+  def minhashSignature(docs: DataFrame, textCol: String, numHashes: Int = 16,
       shingleK: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -44,121 +63,171 @@ object Dedup {
           if (toks.length < shingleK) Iterator.empty
           else {
             val nSh = toks.length - shingleK + 1
-            val seen = new java.util.HashSet[Long]()
-            val shingles = new scala.collection.mutable.ArrayBuffer[Long](nSh)
-            val mins = Array.fill(numHashes)(Long.MaxValue)
+            val seen = new java.util.LinkedHashSet[String]()
             var i = 0
             while (i < nSh) {
-              var h = 1469598103934665603L
+              val sb = new java.lang.StringBuilder()
               var j = 0
               while (j < shingleK) {
-                h = graft.ingest.TranscriptGen.splitmix64(h ^ toks(i + j).hashCode.toLong)
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j))
                 j += 1
               }
-              if (seen.add(h)) shingles += h
-              var f = 0
-              while (f < numHashes) {
-                val v = graft.ingest.TranscriptGen.splitmix64(h ^ (f * 0x9e3779b97f4a7c15L))
-                if (v < mins(f)) mins(f) = v
-                f += 1
-              }
+              seen.add(sb.toString)
               i += 1
             }
-            Iterator((id, shingles.toArray, mins))
+            val mins = Array.fill(numHashes)("￿")
+            val shIt = seen.iterator()
+            while (shIt.hasNext) {
+              val sh = shIt.next()
+              var f = 0
+              while (f < numHashes) {
+                val h = md5Hex(f.toString + ":" + sh)
+                if (h.compareTo(mins(f)) < 0) mins(f) = h
+                f += 1
+              }
+            }
+            val shingles = new Array[String](seen.size)
+            seen.toArray(shingles)
+            Iterator((id, shingles, mins))
           }
         }
       }
       .toDF("id", "shingles", "minhash")
   }
 
-  /** LSH banding: explode signatures into (band, bucket) keys, self-join
-    * on equal buckets to produce candidate pairs (i < j), then verify with
-    * exact shingle Jaccard. `threshold` filters verified pairs.
+  /** LSH banding: band key = md5 of the band's `rows` signature slots
+    * joined with '|'; candidates from an id-only band equi-join (i < j),
+    * shingle sets re-joined by id for the exact-Jaccard verify.
+    * jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct shingle texts.
     */
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      numHashes: Int = 64, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignature(
       docs.withColumnRenamed(idCol, "doc_id"), textCol, numHashes)
 
-    val banded = sigs.select($"id", $"shingles",
+    val banded = sigs.select($"id",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice($"minhash", b * rows + 1, lit(rows)))))))
+          b => md5(concat_ws("|", slice($"minhash", b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val l = banded.select($"band", $"bucket", $"id".as("id_a"), $"shingles".as("sh_a"))
-    val r = banded.select($"band", $"bucket", $"id".as("id_b"), $"shingles".as("sh_b"))
+    // id-only payload through the band exchange
+    val l = banded.select($"band", $"bucket", $"id".as("id_a"))
+    val r = banded.select($"band", $"bucket", $"id".as("id_b"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .where($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
+      .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    val sa = sigs.select($"id".as("id_a"), $"shingles".as("sh_a"))
+    val sb = sigs.select($"id".as("id_b"), $"shingles".as("sh_b"))
+    candidates.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("icnt", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard",
-        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b")))
+        $"icnt".cast("double") / (size($"sh_a") + size($"sh_b") - $"icnt"))
       .where($"jaccard" >= threshold)
-      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .select($"id_a", $"id_b",
+        floor($"jaccard" * 10000.0).cast("long").as("jaccard_e4"))
   }
 
-  /** SimHash: 64-bit signature from per-token hash bit votes, built with
-    * aggregate() over a 64-slot vote array; near-dups = pairs within
-    * `maxHamming`, candidates via 4x16-bit band join.
+  /** SimHash: 64-bit signature as a '1'/'0' string — bit b votes +1/-1 per
+    * token occurrence from bit b of md5(token); sig bit = vote > 0.
+    * The string form keeps every step (votes, banding, Hamming) exactly
+    * reproducible in SQL without 64-bit overflow tricks.
     */
-  def simhash(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, tok) => {
-        val h = xxhash64(tok)
-        transform(acc, (v, i) =>
-          v + when(getbit(h, i) === 1, lit(1L)).otherwise(lit(-1L)))
-      })
-    // fold votes into a 64-bit signature via literal bit masks + bitwise OR
-    // (overflow-free under ANSI mode)
-    val withVotes = docs.withColumn("sh_votes", votes)
-    val sigBits = (0 until 64).map(i =>
-      when(element_at(col("sh_votes"), i + 1) > 0, lit(1L << (63 - i)))
-        .otherwise(lit(0L)))
-    withVotes.withColumn("simhash", sigBits.reduce(_ bitwiseOR _)).drop("sh_votes")
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.trim.toLowerCase.split("\\s+")
+          val votes = new Array[Int](64)
+          var ti = 0
+          while (ti < toks.length) {
+            val h = md5Hex(toks(ti))
+            var p = 0
+            while (p < 64) {
+              val nib = Character.digit(h.charAt(p / 4), 16)
+              if (((nib >> (3 - (p % 4))) & 1) == 1) votes(p) += 1 else votes(p) -= 1
+              p += 1
+            }
+            ti += 1
+          }
+          val sb = new java.lang.StringBuilder(64)
+          var p = 0
+          while (p < 64) { sb.append(if (votes(p) > 0) '1' else '0'); p += 1 }
+          (id, sb.toString)
+        }
+      }
+      .toDF("id", "simhash")
   }
 
-  /** Candidate near-dup pairs by simhash: band on the 4 16-bit quarters
-    * (any equal quarter → candidate), verify hamming distance.
+  /** Near-dup pairs within `maxHamming` bits. Banding uses
+    * bands = maxHamming + 1 segments of the 64-char signature, so by
+    * pigeonhole every qualifying pair shares at least one untouched band —
+    * candidate generation is COMPLETE (recall 1.0 vs brute force, see
+    * DedupRecallSpec) and the driver oracle is a brute-force all-pairs
+    * Hamming scan.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs, textCol).select(col(idCol).as("id"), $"simhash")
-    val banded = sig.select($"id", $"simhash",
-      posexplode(array((0 until 4).map(q =>
-        shiftright($"simhash", q * 16).bitwiseAND(lit(0xffffL))): _*)))
+      textCol: String = "text", maxHamming: Int = 8): DataFrame = {
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val extra = 64 % bands
+    // band b covers [off(b), off(b)+len(b)) with len = base (+1 for the
+    // first `extra` bands) — contiguous cover of all 64 chars
+    val ranges = (0 until bands).scanLeft((0, 0)) { case ((off, len), b) =>
+      (off + len, base + (if (b < extra) 1 else 0))
+    }.tail
+
+    val sig = simhash(docs, idCol, textCol)
+    val banded = sig.select($"id",
+      posexplode(array(ranges.map { case (off, len) =>
+        substring($"simhash", off + 1, len)
+      }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select($"band", $"bucket", $"id".as("id_a"), $"simhash".as("sig_a"))
-    val r = banded.select($"band", $"bucket", $"id".as("id_b"), $"simhash".as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
+
+    val l = banded.select($"band", $"bucket", $"id".as("id_a"))
+    val r = banded.select($"band", $"bucket", $"id".as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
       .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
+
+    val sa = sig.select($"id".as("id_a"), $"simhash".as("sig_a"))
+    val sb = sig.select($"id".as("id_b"), $"simhash".as("sig_b"))
+    candidates.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("hamming",
+        aggregate(zip_with(split($"sig_a", ""), split($"sig_b", ""),
+          (x, y) => when(x === y, 0L).otherwise(1L)), lit(0L), (a, v) => a + v))
       .where($"hamming" <= maxHamming)
       .select($"id_a", $"id_b", $"hamming")
   }
 
-  /** Embedding near-dup: cosine >= threshold pairs via random-hyperplane
-    * LSH bucketing (see Similarity.hyperplaneBucket) + exact verify.
+  /** Embedding near-dup: cosine >= threshold pairs via multi-table
+    * random-hyperplane LSH bucketing + exact cosine verify. Candidates are
+    * id-keyed bucket equi-joins; vectors re-joined for the verify stage.
     */
   def embeddingDups(embeds: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", threshold: Double = 0.95,
-      planes: Int = 12): DataFrame = {
-    val withB = Similarity.hyperplaneBucket(embeds, vecCol, planes)
-      .select(col(idCol).as("id"), col(vecCol).as("v"), $"bucket")
-    val l = withB.select($"bucket", $"id".as("id_a"), $"v".as("v_a"))
-    val r = withB.select($"bucket", $"id".as("id_b"), $"v".as("v_b"))
-    l.join(r, Seq("bucket"))
+      vecCol: String = "embedding", threshold: Double = 0.9,
+      planes: Int = 12, tables: Int = 4): DataFrame = {
+    val withB = Similarity.withBucketKeys(embeds, idCol, vecCol, planes, tables, seed = 7)
+    val l = withB.select($"bkey", col(idCol).as("id_a"))
+    val r = withB.select($"bkey", col(idCol).as("id_b"))
+    val candidates = l.join(r, Seq("bkey"))
       .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
+    val va = embeds.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val vb = embeds.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    candidates.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine", Similarity.cosine($"v_a", $"v_b"))
       .where($"cosine" >= threshold)
-      .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"))
+      .select($"id_a", $"id_b",
+        floor($"cosine" * 10000.0).cast("long").as("cosine_e4"))
   }
 }

@@ -380,6 +380,262 @@ FROM documents"""
        32 AS dim, strlen(text)::BIGINT AS payload_bytes
 FROM documents"""
 
+  /** q11: snippets — replay of the full pipeline over the padded quantized
+    * series: brute pair-distance matrix per candidate, column minima +
+    * moving minima (MpDist.mpdistVector shape), per-offset 3rd-smallest
+    * selection (calculateMpdist at threshold 0.05, 2*|tsB|=30), then the
+    * greedy 2-pick coverage selection and fraction/mask accounting of
+    * Snippets.select. Candidate sums use list_reduce so the fold order
+    * matches the kernel's left-to-right accumulation.
+    */
+  def q11(w: Int = 8, size: Int = 16): String =
+    s"""WITH $ptsCte,
+pl AS MATERIALIZED (
+  SELECT user_id, n, ($size * ceil(n / $size.0))::BIGINT AS padlen
+  FROM (SELECT user_id, count(*)::BIGINT AS n FROM pts GROUP BY 1) WHERE n >= ${2 * size}),
+padded AS MATERIALIZED (
+  SELECT p.user_id, p.idx, p.vi FROM pts p JOIN pl USING (user_id)
+  UNION ALL
+  SELECT pl.user_id, pl.n + r.range AS idx, 0::BIGINT AS vi
+  FROM pl CROSS JOIN range($size) r WHERE pl.n + r.range < pl.padlen),
+wsp AS (
+  SELECT user_id, idx AS i,
+         sum(vi) OVER fw::BIGINT AS s1, sum(vi * vi) OVER fw::BIGINT AS s2,
+         count(*) OVER fw AS wn
+  FROM padded
+  WINDOW fw AS (PARTITION BY user_id ORDER BY idx ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+  QUALIFY wn = $w),
+dg11 AS (
+  SELECT a.user_id, a.idx AS t, b.idx - a.idx AS d, a.vi * b.vi AS pr
+  FROM padded a JOIN padded b ON a.user_id = b.user_id AND b.idx >= a.idx),
+dots11 AS (
+  SELECT user_id, d, t AS i,
+         sum(pr) OVER dw::BIGINT AS dot, count(*) OVER dw AS cnt
+  FROM dg11
+  WINDOW dw AS (PARTITION BY user_id, d ORDER BY t ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+  QUALIFY cnt = $w),
+pd11 AS (
+  SELECT user_id, i, j,
+         sqrt(greatest(${2 * w}.0 * (1.0 - CASE WHEN deni = 0.0 OR denj = 0.0 THEN 0.0
+              ELSE num / (deni * denj) END), 0.0)) AS dist
+  FROM (
+    SELECT d.user_id, d.i, d.i + d.d AS j,
+           d.dot::DOUBLE - wi.s1::DOUBLE * wj.s1::DOUBLE / $w.0 AS num,
+           sqrt(greatest(wi.s2::DOUBLE - wi.s1::DOUBLE * wi.s1::DOUBLE / $w.0, 0.0)) AS deni,
+           sqrt(greatest(wj.s2::DOUBLE - wj.s1::DOUBLE * wj.s1::DOUBLE / $w.0, 0.0)) AS denj
+    FROM dots11 d
+    JOIN wsp wi ON wi.user_id = d.user_id AND wi.i = d.i
+    JOIN wsp wj ON wj.user_id = d.user_id AND wj.i = d.i + d.d)),
+wd AS MATERIALIZED (
+  SELECT user_id, i AS s, j, dist FROM pd11
+  UNION ALL
+  SELECT user_id, j AS s, i AS j, dist FROM pd11 WHERE i <> j),
+cands AS (
+  SELECT pl.user_id, $size * r.range AS c, pl.padlen
+  FROM pl CROSS JOIN range($size) r WHERE $size * r.range < pl.padlen - $size),
+mrows AS MATERIALIZED (
+  SELECT ca.user_id, ca.c, wd.s - ca.c AS i, wd.j, wd.dist
+  FROM cands ca JOIN wd ON wd.user_id = ca.user_id AND wd.s >= ca.c AND wd.s < ca.c + ${size - w}),
+arh AS (SELECT user_id, c, j, min(dist) AS rh FROM mrows GROUP BY 1, 2, 3),
+mmin AS (
+  SELECT user_id, c, i, j AS o, mn FROM (
+    SELECT user_id, c, i, j,
+           min(dist) OVER mw AS mn, count(*) OVER mw AS cnt
+    FROM mrows
+    WINDOW mw AS (PARTITION BY user_id, c, i ORDER BY j ROWS BETWEEN CURRENT ROW AND ${size - w - 1} FOLLOWING))
+  WHERE cnt = ${size - w}),
+prof AS (
+  SELECT user_id, c, o, mn AS v FROM mmin
+  UNION ALL
+  SELECT a.user_id, a.c, a.j - r.range AS o, a.rh AS v
+  FROM arh a CROSS JOIN range(${size - w}) r
+  WHERE a.j - r.range >= 0),
+dv AS MATERIALIZED (
+  SELECT d.user_id, d.c, d.o, d.v AS dv FROM (
+    SELECT user_id, c, o, v,
+           row_number() OVER (PARTITION BY user_id, c, o ORDER BY v ASC) AS rn
+    FROM prof) d
+  JOIN pl ON d.user_id = pl.user_id
+  WHERE d.rn = 3 AND d.o <= pl.padlen - ${size - 1}),
+s1s AS (
+  SELECT user_id, c, list_reduce(list_prepend(0.0, list(dv ORDER BY o)), (a, b) -> a + b) AS s
+  FROM dv GROUP BY 1, 2),
+p1 AS MATERIALIZED (
+  SELECT user_id, c FROM (
+    SELECT user_id, c, row_number() OVER (PARTITION BY user_id ORDER BY s ASC, c ASC) AS rn
+    FROM s1s) WHERE rn = 1),
+dv1 AS MATERIALIZED (
+  SELECT d.user_id, d.o, d.dv AS dv1 FROM dv d JOIN p1 ON d.user_id = p1.user_id AND d.c = p1.c),
+s2s AS (
+  SELECT d.user_id, d.c,
+         list_reduce(list_prepend(0.0, list(least(d.dv, v1.dv1) ORDER BY d.o)), (a, b) -> a + b) AS s
+  FROM dv d JOIN dv1 v1 ON d.user_id = v1.user_id AND d.o = v1.o GROUP BY 1, 2),
+p2 AS MATERIALIZED (
+  SELECT user_id, c FROM (
+    SELECT user_id, c, row_number() OVER (PARTITION BY user_id ORDER BY s ASC, c ASC) AS rn
+    FROM s2s) WHERE rn = 1),
+dv2 AS MATERIALIZED (
+  SELECT d.user_id, d.o, d.dv AS dv2 FROM dv d JOIN p2 ON d.user_id = p2.user_id AND d.c = p2.c),
+msk AS (
+  SELECT b.user_id, b.o, b.dv1, b.dv2,
+         (b.dv1 <= least(b.dv1, b.dv2)) AS mask1,
+         (b.dv2 <= least(b.dv1, b.dv2) - CASE WHEN b.dv1 <= least(b.dv1, b.dv2) THEN 1.0 ELSE 0.0 END) AS mask2
+  FROM (SELECT v1.user_id, v1.o, v1.dv1, v2.dv2
+        FROM dv1 v1 JOIN dv2 v2 ON v1.user_id = v2.user_id AND v1.o = v2.o) b),
+fr AS (
+  SELECT m.user_id,
+         sum(CASE WHEN m.mask1 THEN 1 ELSE 0 END)::DOUBLE / (pl.padlen - $size) AS f1,
+         sum(CASE WHEN m.mask2 THEN 1 ELSE 0 END)::DOUBLE / (pl.padlen - $size) AS f2
+  FROM msk m JOIN pl ON m.user_id = pl.user_id
+  GROUP BY m.user_id, pl.padlen)
+SELECT user_id, rank, snippet_idx, fraction_e4 FROM (
+  SELECT p1.user_id, 1::BIGINT AS rank, p1.c::BIGINT AS snippet_idx,
+         floor(fr.f1 * 10000.0)::BIGINT AS fraction_e4
+  FROM p1 JOIN fr ON p1.user_id = fr.user_id
+  UNION ALL
+  SELECT p2.user_id, 2, p2.c::BIGINT, floor(fr.f2 * 10000.0)::BIGINT
+  FROM p2 JOIN fr ON p2.user_id = fr.user_id)"""
+
+  /** q20: MinHash-LSH near-dup pairs — full algorithm mirror (md5-string
+    * signatures, banding, id-only candidate join, exact-Jaccard verify);
+    * recall vs brute force is gated separately in DedupRecallSpec.
+    */
+  def q20(numHashes: Int = 16, bands: Int = 8, shingleK: Int = 3,
+      threshold: Double = 0.3): String = {
+    val rows = numHashes / bands
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - ${shingleK - 2}),
+         i -> array_to_string(tk[i:i+${shingleK - 1}], ' '))) AS shd
+  FROM tok WHERE len(tk) >= $shingleK),
+minh AS (
+  SELECT doc_id, f.range AS f, min(md5(f.range || ':' || s.s)) AS mh
+  FROM (SELECT doc_id, unnest(shd) AS s FROM sh) s CROSS JOIN range($numHashes) f
+  GROUP BY 1, 2),
+sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY f) AS sigl FROM minh GROUP BY 1),
+band AS MATERIALIZED (
+  SELECT doc_id, b.range AS band,
+         md5(${(0 until rows).map(r => s"sigl[$rows*b.range+${r + 1}]").mkString(" || '|' || ")}) AS bucket
+  FROM sig CROSS JOIN range($bands) b),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.shd, sb.shd)) AS icnt, len(sa.shd) AS na, len(sb.shd) AS nb
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, floor(icnt::DOUBLE / (na + nb - icnt) * 10000.0)::BIGINT AS jaccard_e4
+FROM ver WHERE icnt::DOUBLE / (na + nb - icnt) >= $threshold"""
+  }
+
+  /** q21: SimHash near-dups — brute-force all-pairs Hamming over the
+    * SQL-recomputed md5-bit signatures. Because the Spark side bands with
+    * maxHamming+1 segments (complete by pigeonhole), LSH output == brute
+    * force, so this oracle gates banding completeness, not just hashing.
+    */
+  def q21(maxHamming: Int = 8): String =
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk FROM documents),
+bits AS (
+  SELECT t.doc_id, p.range AS p,
+         CASE WHEN ((strpos('0123456789abcdef', substr(t.h, (p.range // 4)::INT + 1, 1)) - 1)
+                    >> (3 - (p.range % 4))::INT) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM (SELECT doc_id, md5(tk) AS h FROM tok) t CROSS JOIN range(64) p),
+sigs AS MATERIALIZED (
+  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM (SELECT doc_id, p, sum(vote) AS v FROM bits GROUP BY 1, 2) GROUP BY doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN substr(a.sig, i::INT, 1) = substr(b.sig, i::INT, 1) THEN 0 ELSE 1 END))::BIGINT AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+WHERE hamming <= $maxHamming"""
+
+  // ---- embedding LSH mirrors (shared fold/cosine fragments) -----------
+
+  /** Strict left fold of ±x_j (1-based lambda index) — the SQL twin of
+    * Similarity.bucketBit's aggregate/zip_with fold.
+    */
+  private def foldDotSql(vec: String, signs: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform($vec, " +
+      s"(x, i) -> CASE WHEN substr('$signs', i::INT, 1) = '+' THEN x::DOUBLE ELSE -(x::DOUBLE) END)), (a, b) -> a + b)"
+
+  /** Bucket-key list literal for `tables` x `planes` hyperplanes — signs
+    * come from the very function the Spark side uses.
+    */
+  private def bkeysSql(vec: String, planes: Int, tables: Int, seed: Long,
+      dim: Int): String = {
+    val keys = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val signs = graft.ops.Similarity.hyperplaneSigns(t, p, dim, seed)
+        s"(CASE WHEN ${foldDotSql(vec, signs)} >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"'$t:' || $bits"
+    }
+    "[" + keys.mkString(", ") + "]"
+  }
+
+  /** Cosine as the same double expression Similarity.cosine builds. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1]::DOUBLE * z[2]::DOUBLE)), (x, y) -> x + y)" +
+      s" / (sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x::DOUBLE * x::DOUBLE)), (x, y) -> x + y))" +
+      s" * sqrt(list_reduce(list_prepend(0.0, list_transform($b, x -> x::DOUBLE * x::DOUBLE)), (x, y) -> x + y))))"
+
+  /** q24: ANN recall — replays BOTH sides (brute-force top-10 and the
+    * multi-table hyperplane LSH top-10) and counts hits per query.
+    */
+  def q24(k: Int = 10, planes: Int = 10, tables: Int = 4, seed: Long = 42L,
+      dim: Int = 64): String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+bs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ${cosSql("q.embedding", "c.embedding")} AS cos
+  FROM e c, q WHERE c.vec_id <> q.vec_id),
+brute AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM bs) WHERE rn <= $k),
+ck AS MATERIALIZED (SELECT vec_id, unnest(${bkeysSql("embedding", planes, tables, seed, dim)}) AS bkey FROM e),
+qk AS MATERIALIZED (SELECT ck.* FROM ck JOIN q ON ck.vec_id = q.vec_id),
+cands AS (
+  SELECT DISTINCT qk.vec_id AS query_id, ck.vec_id AS neighbor_id
+  FROM ck JOIN qk ON ck.bkey = qk.bkey AND ck.vec_id <> qk.vec_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, ${cosSql("eq.embedding", "ec.embedding")} AS cos
+  FROM cands c JOIN e eq ON eq.vec_id = c.query_id JOIN e ec ON ec.vec_id = c.neighbor_id),
+lsh AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM scored) WHERE rn <= $k)
+SELECT b.query_id, count(l.neighbor_id)::BIGINT AS n_hits
+FROM brute b LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY 1"""
+
+  /** q25: embedding near-dups over the base corpus + 20 planted
+    * near-copies (one component +0.25f) — same planting, hyperplanes,
+    * candidate join, and verify threshold as the Spark side.
+    */
+  def q25(threshold: Double = 0.9, planes: Int = 12, tables: Int = 4,
+      seed: Long = 7L, dim: Int = 64): String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, (x, i) -> CASE WHEN i = mp + 1
+           THEN (x + 0.25::FLOAT)::FLOAT ELSE x END) AS embedding
+  FROM (SELECT vec_id, embedding, (vec_id % 64)::INT AS mp FROM embeddings WHERE vec_id < 20)),
+alle AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM planted),
+ak AS MATERIALIZED (SELECT vec_id, unnest(${bkeysSql("embedding", planes, tables, seed, dim)}) AS bkey FROM alle),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ak a JOIN ak b ON a.bkey = b.bkey AND a.vec_id < b.vec_id),
+ver AS (
+  SELECT c.id_a, c.id_b, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+  FROM cand c JOIN alle ea ON ea.vec_id = c.id_a JOIN alle eb ON eb.vec_id = c.id_b)
+SELECT id_a, id_b, floor(cos * 10000.0)::BIGINT AS cosine_e4
+FROM ver WHERE cos >= $threshold"""
+
   /** q15: Gorilla chunk round-trip summary — counts and first/last decoded
     * values are checkable in SQL; losslessness is pinned TRUE.
     */

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.{Dedup, Similarity}
+
+/** Recall gates for the approximate dedup / similarity operators.
+  * Everything here is deterministic (seeded hyperplanes, splitmix data),
+  * so the measured recalls are fixed numbers, not flaky samples.
+  */
+class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-recall-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rnd(seed: Long): Iterator[Long] =
+    Iterator.iterate(graft.ingest.TranscriptGen.splitmix64(seed))(
+      graft.ingest.TranscriptGen.splitmix64)
+
+  /** Deterministic docs: 40 base docs of 30 words from a 50-word lexicon,
+    * plus near-dup copies of the first 10 with 1-4 words swapped.
+    */
+  private def docs(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val words = (0 until 50).map(i => s"w$i")
+    val base = (0 until 40).map { d =>
+      val ws = rnd(d * 7919L + 1).take(30).map(h => words(((h % 50) + 50).toInt % 50))
+      (d.toLong, ws.mkString(" "))
+    }
+    val dups = (0 until 10).map { d =>
+      val toks = base(d)._2.split(" ")
+      val nEdit = 1 + d % 4
+      val edited = toks.zipWithIndex.map { case (t, i) =>
+        if (i < nEdit) words((d + i + 17) % 50) else t
+      }
+      (100L + d, edited.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  private def jaccard(a: String, b: String, k: Int = 3): Double = {
+    def sh(s: String) = s.toLowerCase.split("\\s+").sliding(k).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("simhash banding is complete: banded pairs == brute-force pairs") {
+    import spark.implicits._
+    val d = docs()
+    val banded = Dedup.simhashPairs(d, maxHamming = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sigs = Dedup.simhash(d).as[(Long, String)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      ham = sa.zip(sb).count { case (x, y) => x != y }
+      if ham <= 8
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup signatures")
+    assert(banded == brute,
+      s"banding must find exactly the brute-force pairs (missing: ${brute -- banded})")
+  }
+
+  test("minhash LSH finds every high-jaccard pair") {
+    import spark.implicits._
+    val d = docs()
+    val found = Dedup.minhashLsh(d, threshold = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val texts = d.as[(Long, String)].collect().toMap
+    val high = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      if jaccard(texts(a), texts(b)) >= 0.7
+    } yield (a, b)).toSet
+    assert(high.size >= 8, s"fixture should plant high-jaccard pairs, got ${high.size}")
+    assert(high.subsetOf(found),
+      s"LSH must recall all pairs with jaccard >= 0.7 (missing: ${high -- found})")
+  }
+
+  /** Deterministic near-unit embeddings + planted near-copies. */
+  test("embedding LSH dedup recalls planted near-duplicates") {
+    import spark.implicits._
+    val dim = 64
+    val base = (0 until 80).map { id =>
+      val v = rnd(id * 104729L + 5).take(dim)
+        .map(h => ((h % 1000).toInt / 1000.0f)).toArray
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (id.toLong, v.map(_ / n))
+    }
+    val planted = base.take(20).map { case (id, v) =>
+      val c = v.clone()
+      c(id.toInt % dim) += 0.05f // cosine ~0.999 near-copy
+      (1000L + id, c)
+    }
+    val df = spark.createDataset(base ++ planted).toDF("vec_id", "embedding")
+    val found = Dedup.embeddingDups(df, threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 20).map(id => (id.toLong, 1000L + id)).toSet
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall >= 0.8, s"planted near-dup recall $recall < 0.8 (found ${found.size} pairs)")
+  }
+
+  test("ANN LSH top-k recall vs brute force on planted cluster structure") {
+    import spark.implicits._
+    val dim = 64
+    // 20 clusters x 10 members: within-cluster cosine ~0.99, across ~0
+    // (signed components) — the regime ANN retrieval exists for; a flat
+    // cloud with no structure has no recoverable top-k for ANY index
+    def unit(seed: Long): Array[Float] = {
+      val v = rnd(seed).take(dim)
+        .map(h => (((h % 2000).toInt + 2000) % 2000 - 1000) / 1000.0f).toArray
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val vecs = (0 until 200).map { id =>
+      val center = unit((id / 10) * 7919L + 11)
+      val noise = unit(id * 104729L + 23)
+      val v = center.indices.map(i => center(i) + 0.07f * noise(i)).toArray
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (id.toLong, v.map(_ / n))
+    }
+    val df = spark.createDataset(vecs).toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" % 10 === 0 && $"vec_id" < 100)
+    val brute = Similarity.bruteForceTopK(df, q, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(df, q, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.7, s"ANN LSH recall $recall < 0.7 on clustered data")
+  }
+}
