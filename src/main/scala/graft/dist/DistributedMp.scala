@@ -28,22 +28,61 @@ object DistributedMp {
 
   /** MPX self-join profiles for every series with length >= 2w. */
   def mpxProfiles(series: Dataset[SeriesRow], w: Int, tier: String,
-      splitThreshold: Int = 1 << 15, blocksPerSplit: Int = 16): Dataset[MpProfileRow] =
-    skimpProfiles(series, Array(w), tier, splitThreshold, blocksPerSplit)
+      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[MpProfileRow] =
+    skimpProfiles(series, Array(w), tier, splitThreshold, tileSize)
+
+  /** A halo'd MPX tile task: the slice starts at global row `start` and
+    * carries just the values the tile's diagonals touch (≤ 2·tileSize +
+    * w-1 points), NEVER the whole series — a 10M-point series ships
+    * O(n²/tileSize) total task input instead of O(n · tasks).
+    */
+  final case class MpxTile(conv_id: String, kind: String, w: Int,
+      start: Int, dLo: Int, dHi: Int, rowEnd: Int, plen: Int,
+      slice: Array[Double], pre: Option[MpxPartialAt])
+
+  /** 2-D (row-block x diagonal-block) tiling of the upper triangle.
+    * Each tile re-derives its stats from its own slice (the reference's
+    * batch-seeding discipline, stomp.py:100-105) so no state crosses task
+    * boundaries; slice-local compensated stats differ from whole-series
+    * stats only in final ULPs (gated at 1e-8 by SparkPipelineSpec).
+    */
+  private def mpxTiles(s: SeriesRow, w: Int, tileSize: Int): Iterator[MpxTile] = {
+    val n = s.values.length
+    val plen = n - w + 1
+    val minlag = math.ceil(w / 4.0).toInt
+    val dStart = minlag + 1
+    val b = tileSize
+    val rTiles = math.ceil(plen.toDouble / b).toInt
+    for {
+      rb <- (0 until rTiles).iterator
+      rLo = rb * b
+      db <- (0 until rTiles).iterator
+      dLo = math.max(dStart, db * b)
+      dHi = math.min((db + 1) * b, plen)
+      if dLo < dHi
+      rHi = math.min(math.min((rb + 1) * b, plen), plen - dLo)
+      if rLo < rHi
+    } yield {
+      val colMax = math.min(plen - 1, rHi - 1 + dHi - 1)
+      val slice = java.util.Arrays.copyOfRange(s.values, rLo, colMax + w)
+      MpxTile(s.conv_id, s.kind, w, rLo, dLo, dHi, rHi - rLo, plen, slice, None)
+    }
+  }
 
   /** Distributed SKIMP: one mpx self-join per (series, window) pair, fanned
     * out as independent tasks (ref skimp.py:96-242 computes windows
     * sequentially per series; here the (series, window) grid IS the
-    * parallel axis, and long series additionally split within a window).
+    * parallel axis, and long series additionally split into halo'd 2-D
+    * tiles within a window).
     */
   def skimpProfiles(series: Dataset[SeriesRow], windows: Array[Int], tier: String,
-      splitThreshold: Int = 1 << 15, blocksPerSplit: Int = 16): Dataset[MpProfileRow] = {
+      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[MpProfileRow] = {
     val spark = series.sparkSession
     import spark.implicits._
 
     // one scan: short series compute their complete partial in place; long
-    // series emit uncomputed block descriptors that are spread across
-    // tasks by the repartition below before the kernel runs
+    // series emit halo'd tile descriptors that are spread across tasks by
+    // the repartition below before the kernel runs
     val tasks = series.flatMap { s =>
       val n = s.values.length
       windows.iterator.filter(w => n >= 2 * w).flatMap { w =>
@@ -51,40 +90,30 @@ object DistributedMp {
           val st = Mpx.selfStats(s.values, w)
           val buf = Mpx.newBuf(st.profileLen)
           Mpx.selfJoinBlock(s.values, w, st, st.minlag + 1, st.profileLen, buf)
-          Iterator((s.conv_id, s.kind, w, -1, -1,
-            Array.empty[Double], Some(MpxPartial(buf.mp, buf.mpi))))
-        } else {
-          val plen = n - w + 1
-          val minlag = math.ceil(w / 4.0).toInt
-          val total = plen - (minlag + 1)
-          val per = math.max(1, math.ceil(total.toDouble / blocksPerSplit).toInt)
-          (0 until blocksPerSplit).iterator
-            .map { b =>
-              val lo = minlag + 1 + b * per
-              val hi = math.min(minlag + 1 + (b + 1) * per, plen)
-              (lo, hi)
-            }
-            .filter { case (lo, hi) => lo < hi }
-            .map { case (lo, hi) =>
-              (s.conv_id, s.kind, w, lo, hi, s.values, None: Option[MpxPartial])
-            }
-        }
+          Iterator(MpxTile(s.conv_id, s.kind, w, 0, 0, 0, 0, st.profileLen,
+            Array.empty, Some(MpxPartialAt(0, st.profileLen, buf.mp, buf.mpi))))
+        } else mpxTiles(s, w, tileSize)
       }
     }
 
     val partials = tasks
-      .repartition($"_1", $"_3", $"_4") // spread one series' blocks across tasks
-      .map { case (conv, kind, w, lo, hi, ts, pre) =>
-        val p = pre.getOrElse {
-          val st = Mpx.selfStats(ts, w)
-          val buf = Mpx.newBuf(st.profileLen)
-          Mpx.selfJoinBlock(ts, w, st, lo, hi, buf)
-          MpxPartial(buf.mp, buf.mpi)
+      .repartition($"conv_id", $"w", $"start", $"dLo") // spread tiles across tasks
+      .map { t =>
+        val p = t.pre.getOrElse {
+          val st = Mpx.selfStats(t.slice, w = t.w)
+          val buf = Mpx.newBuf(t.slice.length - t.w + 1)
+          Mpx.selfJoinTile(t.slice, t.w, st, t.dLo, t.dHi, t.rowEnd, buf)
+          var i = 0
+          while (i < buf.mpi.length) {
+            if (buf.mpi(i) >= 0) buf.mpi(i) += t.start
+            i += 1
+          }
+          MpxPartialAt(t.start, t.plen, buf.mp, buf.mpi)
         }
-        (conv, kind, w, p)
+        (t.conv_id, t.kind, t.w, p)
       }
 
-    val mergeAgg = new ProfileMerge.MpxMaxMerge().toColumn
+    val mergeAgg = new ProfileMerge.MpxMaxMergeAt().toColumn
     partials
       .groupByKey { case (conv, kind, w, _) => (conv, kind, w) }
       .mapValues { case (_, _, _, p) => p }
@@ -99,9 +128,20 @@ object DistributedMp {
       }
   }
 
-  /** STOMP profiles (with left/right profiles); same unified shape. */
+  /** A halo'd STOMP tile: row slice [rLo, rHi-1+w), col slice
+    * [cLo, cHi-1+w) — again never the whole series.
+    */
+  final case class StompTile(conv_id: String, kind: String,
+      rLo: Int, rHi: Int, cLo: Int, cHi: Int, plen: Int,
+      rowSlice: Array[Double], colSlice: Array[Double],
+      pre: Option[StompPartialAt])
+
+  /** STOMP profiles (with left/right profiles); same unified shape. Long
+    * series split into (row-block x col-block) tiles, each seeded by one
+    * FFT over its column slice (stomp.py:100-105 lifted to 2-D).
+    */
   def stompProfiles(series: Dataset[SeriesRow], w: Int, tier: String,
-      splitThreshold: Int = 1 << 15, batchesPerSplit: Int = 16): Dataset[MpProfileRow] = {
+      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[MpProfileRow] = {
     val spark = series.sparkSession
     import spark.implicits._
     val ez = math.ceil(w / 2.0).toInt
@@ -111,34 +151,39 @@ object DistributedMp {
       if (n < 2 * w) Iterator.empty
       else if (n < splitThreshold) {
         val r = Stomp.stomp(s.values, w)
-        Iterator((s.conv_id, s.kind, -1, -1, Array.empty[Double],
-          Some(StompPartial(r.mp, r.pi, r.lmp, r.lpi, r.rmp, r.rpi))))
+        Iterator(StompTile(s.conv_id, s.kind, 0, 0, 0, 0, r.mp.length,
+          Array.empty, Array.empty,
+          Some(StompPartialAt(0, r.mp.length, r.mp, r.pi, r.lmp, r.lpi, r.rmp, r.rpi))))
       } else {
         val plen = n - w + 1
-        Stomp.batchRanges(plen, batchesPerSplit).iterator.map { case (lo, hi) =>
-          (s.conv_id, s.kind, lo, hi, s.values, None: Option[StompPartial])
-        }
+        val b = tileSize
+        val tiles = math.ceil(plen.toDouble / b).toInt
+        for {
+          rb <- (0 until tiles).iterator
+          cb <- (0 until tiles).iterator
+          rLo = rb * b
+          rHi = math.min((rb + 1) * b, plen)
+          cLo = cb * b
+          cHi = math.min((cb + 1) * b, plen)
+        } yield StompTile(s.conv_id, s.kind, rLo, rHi, cLo, cHi, plen,
+          java.util.Arrays.copyOfRange(s.values, rLo, rHi - 1 + w),
+          java.util.Arrays.copyOfRange(s.values, cLo, cHi - 1 + w), None)
       }
     }
 
     val partials = tasks
-      .repartition($"_1", $"_3")
-      .map { case (conv, kind, lo, hi, ts, pre) =>
-        val p = pre.getOrElse {
-          val plen = ts.length - w + 1
-          val skip = graft.kernels.Core.findSkipLocations(ts, plen, w)
-          val clean = graft.kernels.Core.cleanNanInf(ts)
-          val (mu, sig) = graft.kernels.MovingStats.movingAvgStd(clean, w)
-          val firstProduct = graft.kernels.Fft.fftConvolve(clean,
-            java.util.Arrays.copyOfRange(clean, 0, w))
-          val b = Stomp.batchCompute(lo, hi, clean, clean, w, ez, isJoin = false,
-            mu, sig, firstProduct, skip)
-          StompPartial(b.mp, b.pi, b.lmp, b.lpi, b.rmp, b.rpi)
+      .repartition($"conv_id", $"rLo", $"cLo")
+      .map { t =>
+        val p = t.pre.getOrElse {
+          val tile = Stomp.tileCompute(t.rLo, t.rHi, t.cLo, t.cHi,
+            t.rowSlice, t.colSlice, w, ez)
+          StompPartialAt(t.cLo, t.plen, tile.mp, tile.pi,
+            tile.lmp, tile.lpi, tile.rmp, tile.rpi)
         }
-        (conv, kind, p)
+        (t.conv_id, t.kind, p)
       }
 
-    val mergeAgg = new ProfileMerge.StompMinMerge().toColumn
+    val mergeAgg = new ProfileMerge.StompMinMergeAt().toColumn
     partials
       .groupByKey { case (conv, kind, _) => (conv, kind) }
       .mapValues { case (_, _, p) => p }

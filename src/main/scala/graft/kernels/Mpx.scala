@@ -85,6 +85,57 @@ object Mpx {
     }
   }
 
+  /** Tile variant of selfJoinBlock for halo'd chunks: processes diagonals
+    * [diagStart, diagEnd) but only rows (offsets) [0, rowEnd) of each — the
+    * 2-D tile a distributed task owns. `slice` is the series slice starting
+    * at the tile's global row origin and extending through the last column
+    * window + w-1 halo; `st` must be the stats OF THE SLICE (recomputed
+    * locally, so no state crosses task boundaries — the tile analog of the
+    * reference's batch seeding, stomp.py:100-105). Buffer indices are
+    * slice-local; the caller globalizes by adding the row origin.
+    */
+  def selfJoinTile(slice: Array[Double], w: Int, st: SelfStats,
+      diagStart: Int, diagEnd: Int, rowEnd: Int, buf: PearsonBuf): Unit = {
+    val n = slice.length
+    val mp = buf.mp
+    val mpi = buf.mpi
+    val df = st.df
+    val dg = st.dg
+    val sig = st.sig
+    val mu = st.mu
+    val mu0 = mu(0)
+    var diag = diagStart
+    // a diagonal at or past the local profile length has no in-slice pair
+    val dEnd = math.min(diagEnd, st.profileLen)
+    while (diag < dEnd) {
+      var c = 0.0
+      val muD = mu(diag)
+      var i = diag
+      while (i < diag + w) {
+        c += (slice(i) - muD) * (slice(i - diag) - mu0)
+        i += 1
+      }
+      var offset = 0
+      val offEnd = math.min(rowEnd, n - w - diag + 1)
+      while (offset < offEnd) {
+        val col = offset + diag
+        c += df(offset) * dg(col) + df(col) * dg(offset)
+        var cCmp = c * sig(offset) * sig(col)
+        if (cCmp > mp(offset)) {
+          mp(offset) = cCmp
+          mpi(offset) = col
+        }
+        if (cCmp > mp(col)) {
+          if (cCmp > 1.0) cCmp = 1.0
+          mp(col) = cCmp
+          mpi(col) = offset
+        }
+        offset += 1
+      }
+      diag += 1
+    }
+  }
+
   /** Elementwise-max merge of Pearson buffers, clamping stored values at 1.0
     * (ref cympx.pyx:104-112). `a` is mutated and returned; order-insensitive
     * up to index ties at equal correlation.

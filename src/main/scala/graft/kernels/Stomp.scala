@@ -169,6 +169,95 @@ object Stomp {
     Batch(mp, pi, lmp, lpi, rmp, rpi)
   }
 
+  /** One tile's partial profiles over the column range it owns. */
+  final case class Tile(mp: Array[Double], pi: Array[Long],
+      lmp: Array[Double], lpi: Array[Long],
+      rmp: Array[Double], rpi: Array[Long])
+
+  /** Self-join tile over rows [rLo, rHi) x columns [cLo, cHi) from halo'd
+    * slices only: `rowSliceRaw` covers positions [rLo, rHi-1+w),
+    * `colSliceRaw` covers [cLo, cHi-1+w). Column stats are recomputed from
+    * the slice and the first row's products come from one FFT over the
+    * column slice, subsequent rows from the O(1) shifted-product update
+    * with a direct O(w) re-seed at the segment's left edge — the tile
+    * analog of the reference's batch seeding (stomp.py:100-105, 152-156).
+    * Output arrays cover the column segment (length cHi-cLo); indices are
+    * global.
+    */
+  def tileCompute(rLo: Int, rHi: Int, cLo: Int, cHi: Int,
+      rowSliceRaw: Array[Double], colSliceRaw: Array[Double], w: Int,
+      ez: Int): Tile = {
+    val rows = rHi - rLo
+    val cols = cHi - cLo
+    val skipRows = Core.findSkipLocations(rowSliceRaw, rows, w)
+    val rowSlice = Core.cleanNanInf(rowSliceRaw)
+    val colSlice = Core.cleanNanInf(colSliceRaw)
+    val (colMu, colSig) = MovingStats.movingAvgStd(colSlice, w)
+
+    val mp = Array.fill(cols)(Double.PositiveInfinity)
+    val pi = new Array[Long](cols)
+    val lmp = Array.fill(cols)(Double.PositiveInfinity)
+    val lpi = new Array[Long](cols)
+    val rmp = Array.fill(cols)(Double.PositiveInfinity)
+    val rpi = new Array[Long](cols)
+
+    val firstWindow = java.util.Arrays.copyOfRange(rowSlice, 0, w)
+    val product = Fft.fftConvolve(colSlice, firstWindow) // length == cols
+
+    var querySum = 0.0
+    var query2Sum = 0.0
+    var k = 0
+    while (k < w) {
+      querySum += firstWindow(k)
+      query2Sum += firstWindow(k) * firstWindow(k)
+      k += 1
+    }
+    var dropValue = firstWindow(0)
+
+    var i = rLo
+    while (i < rHi) {
+      val li = i - rLo
+      if (li > 0) {
+        val qLast = rowSlice(li + w - 1)
+        querySum = querySum - dropValue + qLast
+        query2Sum = query2Sum - dropValue * dropValue + qLast * qLast
+        // shifted product, descending so new[j] reads prior row's j-1
+        var j = cols - 1
+        while (j >= 1) {
+          product(j) = product(j - 1) - colSlice(j - 1) * dropValue +
+            colSlice(w + j - 1) * qLast
+          j -= 1
+        }
+        // left edge re-seed: direct O(w) dot of row window vs col window
+        var seed = 0.0
+        var t = 0
+        while (t < w) { seed += rowSlice(li + t) * colSlice(t); t += 1 }
+        product(0) = seed
+        dropValue = rowSlice(li)
+      }
+      if (!skipRows(li)) {
+        val queryMu = querySum / w
+        val sigSq = query2Sum / w - queryMu * queryMu
+        val querySig = math.sqrt(if (sigSq < 0) 0.0 else sigSq)
+        var j = 0
+        while (j < cols) {
+          val g = cLo + j
+          // exclusion zone [i-ez, i+ez] (core.py:580-587) enforced by skip
+          if (ez == 0 || g < i - ez || g > i + ez) {
+            val d = math.sqrt(2.0 * (w - (product(j) - w * colMu(j) * queryMu)
+              / (colSig(j) * querySig)))
+            if (d < mp(j)) { mp(j) = d; pi(j) = i }
+            if (g >= i) { if (d < lmp(j)) { lmp(j) = d; lpi(j) = i } }
+            else if (d < rmp(j)) { rmp(j) = d; rpi(j) = i }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    Tile(mp, pi, lmp, lpi, rmp, rpi)
+  }
+
   /** Elementwise-min merge of batch partials (ref stomp.py:340-357).
     * Mutates and returns `a`.
     */

@@ -1,0 +1,92 @@
+package graft.run
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import graft.dist.DistributedMp
+import graft.dist.DistributedMp.SeriesRow
+
+/** Single long-series matrix profile through the halo'd-tile path —
+  * the scale evidence for splitting one 10^6..10^7-point series across
+  * tasks without replicating the whole series into every task.
+  *
+  * Prints total wall time, pair-distance throughput, and the measured
+  * shuffle read/write bytes, against the input bytes the round-1
+  * full-replication design would have shuffled (n * 8B per block task).
+  *
+  * Usage: runMain graft.run.LongSeriesBench [nPoints] [w] [tileSize] [algo]
+  */
+object LongSeriesBench {
+
+  final class ShuffleMetrics extends SparkListener {
+    @volatile var read = 0L
+    @volatile var written = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      if (t.taskMetrics != null) {
+        read += t.taskMetrics.shuffleReadMetrics.totalBytesRead
+        written += t.taskMetrics.shuffleWriteMetrics.bytesWritten
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 1 << 20
+    val w = if (args.length > 1) args(1).toInt else 32
+    val tile = if (args.length > 2) args(2).toInt else 1 << 14
+    val algo = if (args.length > 3) args(3) else "mpx"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-long-series")
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new ShuffleMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    import spark.implicits._
+
+    // deterministic synthetic series (random walk, no trivial structure)
+    val values = new Array[Double](n)
+    var h = 42L
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      h = graft.ingest.TranscriptGen.splitmix64(h)
+      acc += (h & 0xffff).toDouble / 65536.0 - 0.5
+      values(i) = acc
+      i += 1
+    }
+    val ds = spark.createDataset(Seq(SeriesRow("big", "v", 0L, values)))
+
+    val plen = n - w + 1
+    val minlag = math.ceil(w / 4.0).toInt
+    // mpx sweeps the upper triangle once; stomp computes the full matrix
+    val pairs =
+      if (algo == "stomp") plen.toLong * plen.toLong
+      else (plen.toLong - minlag - 1) * (plen.toLong - minlag) / 2
+
+    val t0 = System.nanoTime()
+    val prof =
+      if (algo == "stomp")
+        DistributedMp.stompProfiles(ds, w, "raw", splitThreshold = 1 << 15, tileSize = tile)
+      else
+        DistributedMp.mpxProfiles(ds, w, "raw", splitThreshold = 1 << 15, tileSize = tile)
+    val row = prof.collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val tiles = math.ceil(plen.toDouble / tile).toInt
+    val nTasks =
+      if (algo == "stomp") tiles.toLong * tiles
+      else (tiles.toLong * (tiles + 1)) / 2
+    val oldBytes = n.toLong * 8L * nTasks // round-1: full series per task
+    println(f"[long-series] algo=$algo n=$n w=$w tile=$tile plen=$plen " +
+      f"tasks~$nTasks pairs=$pairs")
+    println(f"[long-series] wall=$sec%.1fs pairs/s=${pairs / sec}%.3e " +
+      f"min_mp=${row.mp.min}%.4f")
+    println(f"[long-series] shuffle_read=${metrics.read / 1048576.0}%.1f MiB " +
+      f"shuffle_write=${metrics.written / 1048576.0}%.1f MiB " +
+      f"(round-1 full-replication would ship ${oldBytes / 1048576.0}%.0f MiB)")
+    spark.stop()
+  }
+}

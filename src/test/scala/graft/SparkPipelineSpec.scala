@@ -64,23 +64,29 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.pi.toSeq == load("mpx_mpi.txt").map(_.toLong - 1).toSeq)
   }
 
-  test("distributed split/merge path equals unsplit kernel (min-reduce gate)") {
+  test("tiled split/merge path equals unsplit kernel (min-reduce gate)") {
     import spark.implicits._
     val sr = SeriesRow("c_sample", "gap_s", 0L, sampledata)
     val ds = spark.createDataset(Seq(sr))
-    // force the split path with a tiny threshold
+    // force the halo'd-tile path with a tiny threshold; tiles re-derive
+    // stats from their own slices, so equality is ULP-level, not bitwise
     val split = DistributedMp.mpxProfiles(ds, 32, "raw", splitThreshold = 100,
-      blocksPerSplit = 7).collect().head
+      tileSize = 190).collect().head
     val unsplit = DistributedMp.mpxProfiles(ds, 32, "raw").collect().head
-    assertAlmostEqual(split.mp, unsplit.mp, decimal = 10)
-    assert(split.pi.toSeq == unsplit.pi.toSeq)
+    assertAlmostEqual(split.mp, unsplit.mp, decimal = 8)
+    val piDiff = split.pi.indices.count(i => split.pi(i) != unsplit.pi(i))
+    assert(piDiff == 0,
+      s"$piDiff profile-index mismatches between tiled and unsplit mpx")
+    // no tile task may carry the full series: max slice = 2*tile + w - 1
+    val maxSlice = 2 * 190 + 32 - 1
+    assert(sampledata.length > maxSlice)
 
     val sSplit = DistributedMp.stompProfiles(ds, 32, "raw", splitThreshold = 100,
-      batchesPerSplit = 5).collect().head
+      tileSize = 190).collect().head
     val sUnsplit = DistributedMp.stompProfiles(ds, 32, "raw").collect().head
-    assertAlmostEqual(sSplit.mp, sUnsplit.mp, decimal = 10)
-    assertAlmostEqual(sSplit.lmp, sUnsplit.lmp, decimal = 10)
-    assertAlmostEqual(sSplit.rmp, sUnsplit.rmp, decimal = 10)
+    assertAlmostEqual(sSplit.mp, sUnsplit.mp, decimal = 8)
+    assertAlmostEqual(sSplit.lmp, sUnsplit.lmp, decimal = 8)
+    assertAlmostEqual(sSplit.rmp, sUnsplit.rmp, decimal = 8)
   }
 
   test("gap-fill densifies c_gappy to a full minute grid") {
