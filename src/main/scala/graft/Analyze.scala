@@ -29,14 +29,60 @@ object Analyze {
   final case class MpResult(profile: Profile) extends Result
   final case class PmpResult(pmp: Pmp) extends Result
 
-  /** compute(): single window exact → mpx; single window sampled →
+  /** Typed twin of the reference's preprocessing_kwargs dict
+    * (preprocess.py:17-88): same defaults, same accepted values; the
+    * dict-shape / int / bool checks are enforced by the types.
+    */
+  final case class PreprocessKwargs(
+      window: Int = 4,
+      imputeMethod: String = "mean",
+      imputeDirection: String = "forward",
+      addNoise: Boolean = true)
+
+  private val ImputeMethods = Seq("mean", "median", "min", "max")
+  private val ImputeDirections = Seq("forward", "fwd", "f", "backward", "bwd", "b")
+
+  /** validate_preprocess_kwargs (preprocess.py:17-88): None passes
+    * through; invalid method/direction raise with the reference's
+    * messages.
+    */
+  def validatePreprocessKwargs(kwargs: Option[PreprocessKwargs]): Option[PreprocessKwargs] =
+    kwargs.map { k =>
+      if (!ImputeMethods.contains(k.imputeMethod))
+        throw new IllegalArgumentException(
+          "invalid imputation method! valid include options: " + ImputeMethods.mkString(", "))
+      if (!ImputeDirections.contains(k.imputeDirection))
+        throw new IllegalArgumentException(
+          "invalid imputation direction! valid include options: " + ImputeDirections.mkString(", "))
+      k
+    }
+
+  private def applyPreprocess(ts: Array[Double],
+      kwargs: Option[PreprocessKwargs]): Array[Double] =
+    validatePreprocessKwargs(kwargs) match {
+      case None => ts
+      case Some(k) =>
+        val method = k.imputeMethod match {
+          case "mean" => Preprocess.Mean
+          case "median" => Preprocess.Median
+          case "min" => Preprocess.Min
+          case "max" => Preprocess.Max
+        }
+        val forward = Seq("forward", "fwd", "f").contains(k.imputeDirection)
+        Preprocess.preprocess(ts, k.window, method, forward, k.addNoise)
+    }
+
+  /** compute(): preprocess (when kwargs given — ref compute.py:107-113),
+    * then dispatch: single window exact → mpx; single window sampled →
     * scrimp++; multiple windows → skimp PMP; no windows → upper-window
     * search then skimp (ref compute.py:91-145).
     */
-  def compute(ts: Array[Double], windows: Seq[Int] = Seq.empty,
+  def compute(tsRaw: Array[Double], windows: Seq[Int] = Seq.empty,
       query: Option[Array[Double]] = None, samplePct: Double = 1.0,
-      threshold: Double = 0.98): Result = {
+      threshold: Double = 0.98,
+      preprocessingKwargs: Option[PreprocessKwargs] = None): Result = {
     require(windows.forall(_ >= 4), "window size must be at least 4.")
+    val ts = applyPreprocess(tsRaw, preprocessingKwargs)
     windows match {
       case Seq() =>
         val upper = Skimp.maximumSubsequence(ts, threshold)
@@ -60,10 +106,14 @@ object Analyze {
     }
   }
 
-  /** analyze(): compute + motif/discord discovery (ref analyze.py:173-270). */
-  def analyze(ts: Array[Double], windows: Seq[Int] = Seq.empty,
+  /** analyze(): preprocess (ref analyze.py:243-249) + compute +
+    * motif/discord discovery (ref analyze.py:173-270).
+    */
+  def analyze(tsRaw: Array[Double], windows: Seq[Int] = Seq.empty,
       query: Option[Array[Double]] = None, samplePct: Double = 1.0,
-      threshold: Double = 0.98): Result =
+      threshold: Double = 0.98,
+      preprocessingKwargs: Option[PreprocessKwargs] = None): Result = {
+    val ts = applyPreprocess(tsRaw, preprocessingKwargs)
     compute(ts, windows, query, samplePct, threshold) match {
       case MpResult(p) if !p.join =>
         val motifs = TopK.mpTopKMotifs(ts, p.mp, p.pi, p.w, p.ez, k = 3)
@@ -71,6 +121,7 @@ object Analyze {
         MpResult(p.copy(motifs = motifs, discords = discords))
       case other => other
     }
+  }
 
   /** stomp entry (ref stomp.py:196) — full left/right profiles. */
   def stomp(ts: Array[Double], w: Int, query: Option[Array[Double]] = None): Profile = {

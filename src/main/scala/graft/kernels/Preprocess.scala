@@ -54,7 +54,10 @@ object Preprocess {
       else Range(n - window + 1, 0, -1)
 
     for (index <- order) {
-      val end = index + window
+      // the reference's backward loop starts at n-window+1 and relies on
+      // numpy slice clamping for its first (short) window
+      // (preprocess.py:207-216) — mirror the clamp
+      val end = math.min(n, index + window)
       var hasMissing = false
       var j = index
       while (j < end && !hasMissing) { if (isNanInf(temp(j))) hasMissing = true; j += 1 }
