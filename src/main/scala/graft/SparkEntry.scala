@@ -222,6 +222,10 @@ object SparkEntry {
     "q29_annotation_vectors" -> ((s, dir) => MpQueries.q29(s, dir)),
     "q30_hierarchical_clusters" -> ((s, dir) => MpQueries.q30(s, dir)),
 
+    // ---- catalog discovery (fetch_available analog; the driver's DuckDB
+    // session has its own view set, so this is a rows-only check) ----
+    "q31_catalog" -> ((s, dir) => graft.sources.Catalog.fetchAvailable(s, dir)),
+
     // ---- flagship relational aggregate over lineitem ----
     "q26_pricing_summary" -> ((s, dir) => {
       import s.implicits._

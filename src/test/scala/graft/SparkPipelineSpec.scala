@@ -89,6 +89,18 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertAlmostEqual(sSplit.rmp, sUnsplit.rmp, decimal = 8)
   }
 
+  test("catalog fetch_available lists parquet tables with category filter " +
+      "(ref datasets/datasets.py:48-92)") {
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.sources.Catalog.fetchAvailable(spark, dir)
+      .collect().map(_.getString(0)).toSeq
+    assert(Seq("documents", "embeddings", "events", "lineitem").forall(all.contains))
+    assert(all == all.sorted)
+    val filtered = graft.sources.Catalog.fetchAvailable(spark, dir, Some("e"))
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered == all.filter(_.startsWith("e")))
+  }
+
   test("gap-fill densifies c_gappy to a full minute grid") {
     import spark.implicits._
     val transcripts = spark.createDataset(TranscriptGen.fixtureConversations(42L))
