@@ -2,41 +2,82 @@ package graft.run
 
 import org.apache.spark.sql.SparkSession
 
-/** Scaling-efficiency evidence (BASELINE.md): run the transcript-corpus
-  * rollup+MP pipeline `trials` times in one JVM and report the best trial
-  * (min time ≙ least host noise — the sandbox host is shared, so single
-  * shots vary several-fold). The driver script runs this at
-  * SPARK_GRAFT_CPUS = N and 4N on the same input and computes
-  * efficiency = (throughput@4N / throughput@N) / 4.
+/** Scaling-efficiency evidence (BASELINE.md): the sandbox host is shared
+  * and its load swings several-fold on ~10-minute cycles, so measuring N
+  * and 4N cores in separate runs systematically punishes whichever level
+  * lands on a spike. This main therefore INTERLEAVES the two parallelism
+  * levels within the same noise windows — alternating local[N] / local[4N]
+  * trials in one process (the SparkContext is rebuilt per switch), with
+  * the 1-minute host load recorded before each trial — and reports
+  * best-of per level plus efficiency = (tp@4N / tp@N) / (4N/N).
+  *
+  * Env: SPARK_GRAFT_CPUS_LO (4), SPARK_GRAFT_CPUS_HI (16),
+  * SPARK_GRAFT_BENCH_CONVS, SPARK_GRAFT_BENCH_TURNS_SCALE,
+  * SPARK_GRAFT_BENCH_TRIALS (interleaved rounds per level).
   */
 object ScalingBench {
-  def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000").toInt
-    val turnsScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS_SCALE", "20").toInt
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
-    val spark = SparkSession.builder()
+
+  private def load1: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
-    val runs = (1 to trials).map { t =>
+  final case class Trial(cpus: Int, round: Int, load: Double,
+      rollupSec: Double, mpSec: Double, points: Long, subseq: Long)
+
+  def main(args: Array[String]): Unit = {
+    val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "4").toInt
+    val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "16").toInt
+    val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000").toInt
+    val turnsScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS_SCALE", "20").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "6").toInt
+
+    val trials = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    for (round <- 1 to rounds; cpus <- Seq(lo, hi)) {
+      val spark = session(cpus)
+      val ld = load1
       val r = graft.Bench.pipelineBench(spark, convs, turnsScale)
-      System.err.println(f"[scaling] trial $t cpus=$cpus rollup=${r._4}%.2fs mp=${r._5}%.2fs")
-      r
+      trials += Trial(cpus, round, ld, r._4, r._5, r._1, r._3)
+      System.err.println(f"[scaling] round=$round cpus=$cpus load=$ld%.1f " +
+        f"rollup=${r._4}%.2fs mp=${r._5}%.2fs")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
     }
-    val nPoints = runs.head._1
-    val nSubseq = runs.head._3
-    val bestRollup = runs.map(_._4).min
-    val bestMp = runs.map(_._5).min
-    println(f"""{"bench":"scaling","cpus":$cpus,"convs":$convs,"turns_scale":$turnsScale,""" +
-      f""""trials":$trials,"points":$nPoints,"subsequences":$nSubseq,""" +
-      f""""rollup_sec":$bestRollup%.3f,"points_per_sec":${nPoints / bestRollup}%.0f,""" +
-      f""""mp_sec":$bestMp%.3f,"subseq_per_sec":${nSubseq / bestMp}%.0f}""")
-    spark.stop()
+
+    def best(cpus: Int, f: Trial => Double): Trial =
+      trials.filter(_.cpus == cpus).minBy(f)
+    val rLo = best(lo, _.rollupSec)
+    val rHi = best(hi, _.rollupSec)
+    val mLo = best(lo, _.mpSec)
+    val mHi = best(hi, _.mpSec)
+    val factor = hi.toDouble / lo
+    val effRollup = (rLo.rollupSec / rHi.rollupSec) / factor
+    val effMp = (mLo.mpSec / mHi.mpSec) / factor
+
+    val rows = trials.map(t =>
+      f"""{"cpus":${t.cpus},"round":${t.round},"load":${t.load}%.2f,""" +
+        f""""rollup_sec":${t.rollupSec}%.3f,"mp_sec":${t.mpSec}%.3f}""").mkString(",")
+    println(f"""{"bench":"scaling_interleaved","cpus_lo":$lo,"cpus_hi":$hi,""" +
+      f""""convs":$convs,"turns_scale":$turnsScale,"rounds":$rounds,""" +
+      f""""points":${rLo.points},"subsequences":${mLo.subseq},""" +
+      f""""rollup_pps_lo":${rLo.points / rLo.rollupSec}%.0f,""" +
+      f""""rollup_pps_hi":${rHi.points / rHi.rollupSec}%.0f,""" +
+      f""""mp_sps_lo":${mLo.subseq / mLo.mpSec}%.0f,""" +
+      f""""mp_sps_hi":${mHi.subseq / mHi.mpSec}%.0f,""" +
+      f""""efficiency_rollup":$effRollup%.3f,"efficiency_mp":$effMp%.3f,""" +
+      f""""trials":[$rows]}""")
   }
 }

@@ -101,6 +101,20 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered == all.filter(_.startsWith("e")))
   }
 
+  test("q12/q28 select top-k series inside the plan (agg+limit+broadcast, " +
+      "no driver collect of series data)") {
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q12_mpdist_pairs", "q28_ab_join")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: expected the length top-k to run as TakeOrderedAndProject")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: expected the k winners to re-join via broadcast")
+    }
+  }
+
   test("gap-fill densifies c_gappy to a full minute grid") {
     import spark.implicits._
     val transcripts = spark.createDataset(TranscriptGen.fixtureConversations(42L))
