@@ -76,8 +76,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000").toInt
-    val turnsScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS_SCALE", "1").toInt
+    // defaults sized so the pipeline leg measures sustained throughput
+    // (~6M points), not task-launch latency
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "4000").toInt
+    val turnsScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS_SCALE", "12").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

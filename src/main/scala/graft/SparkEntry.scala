@@ -170,7 +170,7 @@ object SparkEntry {
       Dedup.minhashLsh(documents(s, dir), threshold = 0.3)),
 
     "q21_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(documents(s, dir), maxHamming = 8)),
+      Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
 
     "q22_fingerprint" -> ((s, dir) => {
       import s.implicits._

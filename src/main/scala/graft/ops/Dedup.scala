@@ -174,7 +174,7 @@ object Dedup {
     * Hamming scan.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 8): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     val base = 64 / bands
     val extra = 64 % bands

@@ -532,7 +532,7 @@ FROM ver WHERE icnt::DOUBLE / (na + nb - icnt) >= $threshold"""
     * maxHamming+1 segments (complete by pigeonhole), LSH output == brute
     * force, so this oracle gates banding completeness, not just hashing.
     */
-  def q21(maxHamming: Int = 8): String =
+  def q21(maxHamming: Int = 3): String =
     s"""WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk FROM documents),
 bits AS (

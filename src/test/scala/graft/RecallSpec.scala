@@ -56,13 +56,13 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("simhash banding is complete: banded pairs == brute-force pairs") {
     import spark.implicits._
     val d = docs()
-    val banded = Dedup.simhashPairs(d, maxHamming = 8)
+    val banded = Dedup.simhashPairs(d, maxHamming = 3)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val sigs = Dedup.simhash(d).as[(Long, String)].collect()
     val brute = (for {
       (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
       ham = sa.zip(sb).count { case (x, y) => x != y }
-      if ham <= 8
+      if ham <= 3
     } yield (ia, ib)).toSet
     assert(brute.nonEmpty, "fixture should contain near-dup signatures")
     assert(banded == brute,
