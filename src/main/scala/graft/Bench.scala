@@ -90,6 +90,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
+    if (!skipQueries) {
+      // warm up the JVM/codegen and page the inputs so the first timed
+      // query doesn't absorb session startup
+      Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => }
+      }
+    }
     val results =
       if (skipQueries) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

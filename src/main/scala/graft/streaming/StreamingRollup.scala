@@ -33,6 +33,78 @@ object StreamingRollup {
         $"cnt", $"sum", $"min", $"max")
   }
 
+  /** Per-conversation retained series for the stateful streaming path:
+    * `offset` keeps window positions stable across retention trims.
+    */
+  final case class SeriesState(offset: Long, values: Array[Double])
+
+  final case class PointIn(conv_id: String, ts: java.sql.Timestamp, value: Double)
+
+  final case class LeftProfileScore(conv_id: String, pos: Long, dist: Double)
+
+  /** Left-profile scores: for each window, the z-normalized ED to its
+    * nearest STRICTLY EARLIER window (lag > minlag = ceil(w/4)) — the
+    * incremental/anytime half of the matrix profile (ref stomp.py's lmp),
+    * which is exactly what an online anomaly detector can know at arrival
+    * time. Emits windows starting at `fromWindow` and later.
+    */
+  def leftProfileScores(all: Array[Double], w: Int,
+      fromWindow: Int): Seq[(Int, Double)] = {
+    val plen = all.length - w + 1
+    if (plen <= 0) return Seq.empty
+    val minlag = math.ceil(w / 4.0).toInt
+    val (mu, sig) = graft.kernels.MovingStats.muinvn(all, w)
+    (math.max(0, fromWindow) until plen).map { i =>
+      var best = -1.0 // max pearson
+      var j = 0
+      val jEnd = i - minlag - 1
+      while (j <= jEnd) {
+        var dot = 0.0
+        var k = 0
+        while (k < w) { dot += all(i + k) * all(j + k); k += 1 }
+        val corr = (dot - w * mu(i) * mu(j)) * sig(i) * sig(j)
+        if (corr > best) best = corr
+        j += 1
+      }
+      val dist =
+        if (best < -1.0 + 1e-12 && jEnd < 0) Double.PositiveInfinity // no prior window yet
+        else math.sqrt(math.max(2.0 * w * (1.0 - math.min(best, 1.0)), 0.0))
+      (i, dist)
+    }
+  }
+
+  /** Streaming per-conversation left matrix profile via
+    * flatMapGroupsWithState: state = the retained tail of each series
+    * (`maxHistory` points, ring-trimmed with a stable offset), output =
+    * one score per NEWLY COMPLETED window per micro-batch. This is the
+    * engine's custom-state streaming operator (SURVEY §2.7): windowed
+    * aggregation covers the tiers; nearest-neighbor novelty needs
+    * KeyValueGroupedDataset state.
+    */
+  def streamingLeftProfile(stream: Dataset[PointIn], w: Int,
+      maxHistory: Int = 1 << 14): Dataset[LeftProfileScore] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    stream
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (conv: String, it: Iterator[PointIn], state: GroupState[SeriesState]) =>
+          val prior = state.getOption.getOrElse(SeriesState(0L, Array.empty))
+          val incoming = it.toArray.sortBy(_.ts.getTime).map(_.value)
+          val all = prior.values ++ incoming
+          val (kept, offset) =
+            if (all.length > maxHistory)
+              (all.takeRight(maxHistory), prior.offset + (all.length - maxHistory))
+            else (all, prior.offset)
+          state.update(SeriesState(offset, kept))
+          // windows completed by this batch: those using >= 1 incoming point
+          val firstNew = math.max(0, (kept.length - incoming.length) - w + 1)
+          leftProfileScores(kept, w, firstNew).iterator
+            .filter(!_._2.isInfinite)
+            .map { case (i, d) => LeftProfileScore(conv, offset + i, d) }
+      }
+  }
+
   /** Start the stream into an in-memory or parquet sink. */
   def start(tier: DataFrame, sinkFormat: String, path: Option[String],
       queryName: String, checkpoint: String): StreamingQuery = {

@@ -59,4 +59,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${streamedClosed.length} closed streamed vs ${batch.length} batch")
     streamedClosed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s vs $b") }
   }
+
+  test("streaming left profile (flatMapGroupsWithState) equals the batch " +
+      "computation across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = 8
+    val vals = (0 until 60).map(i => math.sin(i / 3.0) * 10.0 + (i % 7)).toArray
+    val pts = vals.zipWithIndex.map { case (v, i) =>
+      StreamingRollup.PointIn("c1", new java.sql.Timestamp(1700000000000L + i * 1000L), v)
+    }
+    val source = MemoryStream[StreamingRollup.PointIn]
+    val scored = StreamingRollup.streamingLeftProfile(source.toDS(), w)
+    val cp = java.nio.file.Files.createTempDirectory("graft_lp_cp").toString
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("lp_stream").option("checkpointLocation", cp).start()
+    // two micro-batches so windows straddle a state boundary
+    source.addData(pts.take(25).toSeq)
+    q.processAllAvailable()
+    source.addData(pts.drop(25).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("lp_stream")
+      .as[StreamingRollup.LeftProfileScore].collect()
+      .map(s => (s.pos, s.dist)).sortBy(_._1)
+    val batch = StreamingRollup.leftProfileScores(vals, w, 0)
+      .filter(!_._2.isInfinite).map { case (i, d) => (i.toLong, d) }
+    assert(streamed.length == batch.length,
+      s"${streamed.length} streamed vs ${batch.length} batch windows")
+    streamed.zip(batch).foreach { case ((p1, d1), (p2, d2)) =>
+      assert(p1 == p2 && math.abs(d1 - d2) < 1e-9, s"pos $p1/$p2 dist $d1/$d2")
+    }
+    // each window is emitted exactly once (by the batch that completes it)
+    assert(streamed.map(_._1).distinct.length == streamed.length)
+  }
 }
