@@ -128,6 +128,115 @@ object DistributedMp {
       }
   }
 
+  /** One AB-join input pair. */
+  final case class AbPair(conv_a: String, conv_b: String,
+      a: Array[Double], b: Array[Double])
+
+  /** A halo'd AB tile: signed-diagonal block x B-position block, slices
+    * only (the AB analog of MpxTile).
+    */
+  final case class AbTile(conv_a: String, conv_b: String,
+      aStart: Int, bLo: Int, bHi: Int, dLo: Int, dHi: Int,
+      plenA: Int, plenB: Int,
+      aSlice: Array[Double], bSlice: Array[Double],
+      preA: Option[MpxPartialAt], preB: Option[MpxPartialAt])
+
+  /** Merged AB similarity-join profiles (Euclidean; -1 → ∞ like
+    * cympx.pyx:261-274) for each input pair.
+    */
+  final case class AbJoinRow(conv_a: String, conv_b: String, w: Int,
+      mpA: Array[Double], piA: Array[Long],
+      mpB: Array[Double], piB: Array[Long])
+
+  /** Distributed MPX AB-join: short pairs run the whole cympx sweep in
+    * one task; long pairs split into halo'd (diagonal-block x
+    * B-position-block) tiles — the scale path for the engine's
+    * similarity-join / as-of-join analog (ref cympx.pyx:125-284).
+    */
+  def mpxAbProfiles(pairs: Dataset[AbPair], w: Int,
+      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[AbJoinRow] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    val tasks = pairs.flatMap { p =>
+      val plenA = p.a.length - w + 1
+      val plenB = p.b.length - w + 1
+      if (plenA < 1 || plenB < 1) Iterator.empty
+      else if (math.max(p.a.length, p.b.length) < splitThreshold) {
+        val sa = Mpx.abStats(p.a, w)
+        val sb = Mpx.abStats(p.b, w)
+        val bufA = Mpx.newBuf(plenA)
+        val bufB = Mpx.newBuf(plenB)
+        Mpx.abJoinBlock(p.a, p.b, w, sa, sb, 0, plenA, bufA, bufB)
+        Mpx.abJoinBlock(p.b, p.a, w, sb, sa, 0, plenB, bufB, bufA)
+        Iterator(AbTile(p.conv_a, p.conv_b, 0, 0, 0, 0, 0, plenA, plenB,
+          Array.empty, Array.empty,
+          Some(MpxPartialAt(0, plenA, bufA.mp, bufA.mpi)),
+          Some(MpxPartialAt(0, plenB, bufB.mp, bufB.mpi))))
+      } else {
+        val bTiles = math.ceil(plenB.toDouble / tileSize).toInt
+        val dMin = -(plenB - 1)
+        val dCount = plenA - 1 - dMin + 1
+        val dTiles = math.ceil(dCount.toDouble / tileSize).toInt
+        for {
+          bb <- (0 until bTiles).iterator
+          bLo = bb * tileSize
+          bHi = math.min((bb + 1) * tileSize, plenB)
+          db <- (0 until dTiles).iterator
+          dLo = dMin + db * tileSize
+          dHi = math.min(dMin + (db + 1) * tileSize, plenA)
+          if math.max(bLo, -(dHi - 1)) < math.min(bHi, plenA - dLo)
+          aStart = math.max(0, bLo + dLo)
+          aEnd = math.min(p.a.length, (bHi - 1) + (dHi - 1) + w)
+          if aStart < aEnd
+        } yield AbTile(p.conv_a, p.conv_b, aStart, bLo, bHi, dLo, dHi,
+          plenA, plenB,
+          java.util.Arrays.copyOfRange(p.a, aStart, aEnd),
+          java.util.Arrays.copyOfRange(p.b, bLo, math.min(p.b.length, bHi - 1 + w)),
+          None, None)
+      }
+    }
+
+    val partials = tasks
+      .repartition($"conv_a", $"conv_b", $"bLo", $"dLo")
+      .flatMap { t =>
+        (t.preA, t.preB) match {
+          case (Some(pa), Some(pb)) =>
+            Iterator((t.conv_a, t.conv_b, "a", pa), (t.conv_a, t.conv_b, "b", pb))
+          case _ =>
+            val sa = Mpx.abStats(t.aSlice, w)
+            val sb = Mpx.abStats(t.bSlice, w)
+            val bufA = Mpx.newBuf(sa.profileLen)
+            val bufB = Mpx.newBuf(sb.profileLen)
+            Mpx.abJoinTile(t.aSlice, t.bSlice, w, sa, sb, t.aStart,
+              t.bLo, t.bHi, t.plenA, t.dLo, t.dHi, bufA, bufB)
+            Iterator(
+              (t.conv_a, t.conv_b, "a", MpxPartialAt(t.aStart, t.plenA, bufA.mp, bufA.mpi)),
+              (t.conv_a, t.conv_b, "b", MpxPartialAt(t.bLo, t.plenB, bufB.mp, bufB.mpi)))
+        }
+      }
+
+    val mergeAgg = new ProfileMerge.MpxMaxMergeAt().toColumn
+    partials
+      .groupByKey { case (ca, cb, side, _) => (ca, cb, side) }
+      .mapValues { case (_, _, _, p) => p }
+      .agg(mergeAgg)
+      .groupByKey { case ((ca, cb, _), _) => (ca, cb) }
+      .mapGroups { (key: (String, String), it) =>
+        val (ca, cb) = key
+        var mpA: Array[Double] = Array.empty
+        var piA: Array[Long] = Array.empty
+        var mpB: Array[Double] = Array.empty
+        var piB: Array[Long] = Array.empty
+        it.foreach { case ((_, _, side), partial) =>
+          val buf = Mpx.clampBuf(Mpx.PearsonBuf(partial.mp, partial.pi))
+          if (side == "a") { mpA = Mpx.abToEuclidean(buf, w); piA = buf.mpi }
+          else { mpB = Mpx.abToEuclidean(buf, w); piB = buf.mpi }
+        }
+        AbJoinRow(ca, cb, w, mpA, piA, mpB, piB)
+      }
+  }
+
   /** A halo'd STOMP tile: row slice [rLo, rHi-1+w), col slice
     * [cLo, cHi-1+w) — again never the whole series.
     */

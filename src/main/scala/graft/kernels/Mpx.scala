@@ -246,6 +246,54 @@ object Mpx {
     }
   }
 
+  /** AB-join tile over halo'd slices: processes the signed diagonals
+    * d = (global A index) − (global B index) in [dLo, dHi) restricted to
+    * B positions [bLo, bHi). `aSlice` starts at global A position
+    * `aStart`, `bSlice` at `bLo`; `sa`/`sb` are the stats OF THE SLICES.
+    * Buffers are slice-local; profile indices stored are GLOBAL.
+    * The per-diagonal seed + df/dg recurrence is the cympx AB sweep
+    * (cympx.pyx:195-237) started mid-diagonal, with the first update
+    * skipped (the reference relies on df(0)=dg(0)=0 for the same effect).
+    */
+  def abJoinTile(aSlice: Array[Double], bSlice: Array[Double], w: Int,
+      sa: AbStats, sb: AbStats, aStart: Int, bLo: Int, bHi: Int,
+      plenA: Int, dLo: Int, dHi: Int,
+      bufA: PearsonBuf, bufB: PearsonBuf): Unit = {
+    var d = dLo
+    while (d < dHi) {
+      var j = math.max(bLo, -d)
+      val jEnd = math.min(bHi, plenA - d)
+      if (j < jEnd) {
+        var li = (j + d) - aStart
+        var lj = j - bLo
+        var cov = 0.0
+        var k = 0
+        while (k < w) {
+          cov += (aSlice(li + k) - sa.mu(li)) * (bSlice(lj + k) - sb.mu(lj))
+          k += 1
+        }
+        var first = true
+        while (j < jEnd) {
+          li = (j + d) - aStart
+          lj = j - bLo
+          if (!first) cov += sa.df(li) * sb.dg(lj) + sa.dg(li) * sb.df(lj)
+          first = false
+          val corr = cov * sa.sig(li) * sb.sig(lj)
+          if (corr > bufA.mp(li)) {
+            bufA.mp(li) = corr
+            bufA.mpi(li) = j
+          }
+          if (corr > bufB.mp(lj)) {
+            bufB.mp(lj) = corr
+            bufB.mpi(lj) = j + d
+          }
+          j += 1
+        }
+      }
+      d += 1
+    }
+  }
+
   /** Pearson → Euclidean for AB-join output: -1 (never matched) → ∞
     * (ref cympx.pyx:261-274).
     */

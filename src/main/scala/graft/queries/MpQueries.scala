@@ -222,25 +222,37 @@ object MpQueries {
     }.toDF("user_id", "n_points", "lossless", "first_e0", "last_e0")
   }
 
-  /** q28: AB similarity join of every series against the longest one;
-    * Mpx.mpxAb gated against the brute AB twin.
+  /** q28: AB similarity join of every series against the longest one —
+    * runs through the distributed AB machinery (DistributedMp
+    * .mpxAbProfiles, tiled for long pairs), gated against the brute AB
+    * twin.
     */
   def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val qs = quantSeries(s, dir)
     val top1 = topKByLength(qs, 1)
-    qs.joinWith(broadcast(top1), qs("user_id") =!= top1("user_id"), "inner")
-      .map { case (u, q) =>
-        val bmin = BruteMp.abMinDist(u.vi, q.vi, W)
-        val (mpA, _, _, _) = Mpx.mpxAb(u.vi.map(_.toDouble), q.vi.map(_.toDouble), W)
-        var kmin = Double.PositiveInfinity
-        var i = 0
-        while (i < mpA.length) {
-          if (!mpA(i).isInfinite && mpA(i) < kmin) kmin = mpA(i)
-          i += 1
-        }
-        (u.user_id, q.user_id, e4(bmin), math.abs(kmin - bmin) < AgreeTol)
-      }.toDF("user_id", "query_user", "min_join_dist_e4", "kernel_agree")
+    val pairRows = qs.joinWith(broadcast(top1), qs("user_id") =!= top1("user_id"), "inner")
+    val brute = pairRows.map { case (u, q) =>
+      (u.user_id, q.user_id, e4(BruteMp.abMinDist(u.vi, q.vi, W)),
+        BruteMp.abMinDist(u.vi, q.vi, W))
+    }.toDF("user_id", "query_user", "min_join_dist_e4", "bmin")
+    val abPairs = pairRows.map { case (u, q) =>
+      DistributedMp.AbPair(u.user_id.toString, q.user_id.toString,
+        u.vi.map(_.toDouble), q.vi.map(_.toDouble))
+    }
+    val kern = DistributedMp.mpxAbProfiles(abPairs, W).map { r =>
+      var kmin = Double.PositiveInfinity
+      var i = 0
+      while (i < r.mpA.length) {
+        if (!r.mpA(i).isInfinite && r.mpA(i) < kmin) kmin = r.mpA(i)
+        i += 1
+      }
+      (r.conv_a.toLong, kmin)
+    }.toDF("kuid", "kmin")
+    brute.join(kern, $"user_id" === $"kuid", "left")
+      .select($"user_id", $"query_user", $"min_join_dist_e4",
+        when($"kmin".isNull, lit(true))
+          .otherwise(abs($"kmin" - $"bmin") < AgreeTol).as("kernel_agree"))
   }
 
   /** q29: complexity annotation vector + corrected profile — the real

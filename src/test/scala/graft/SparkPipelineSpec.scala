@@ -101,6 +101,20 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered == all.filter(_.startsWith("e")))
   }
 
+  test("tiled distributed AB join equals the single-task cympx sweep") {
+    import spark.implicits._
+    val a = sampledata
+    val b = sampledata.slice(199, 500)
+    val pairs = spark.createDataset(Seq(DistributedMp.AbPair("x", "y", a, b)))
+    val tiled = DistributedMp.mpxAbProfiles(pairs, 32,
+      splitThreshold = 100, tileSize = 150).collect().head
+    val (mpA, piA, mpB, piB) = graft.kernels.Mpx.mpxAb(a, b, 32)
+    assertAlmostEqual(tiled.mpA, mpA, decimal = 8)
+    assertAlmostEqual(tiled.mpB, mpB, decimal = 8)
+    assert(tiled.piA.toSeq == piA.toSeq)
+    assert(tiled.piB.toSeq == piB.toSeq)
+  }
+
   test("q12/q28 select top-k series inside the plan (agg+limit+broadcast, " +
       "no driver collect of series data)") {
     val dir = "/root/testdata/sf0.001"
