@@ -44,6 +44,13 @@ object Mpx {
 
   /** Process self-join diagonals [diagStart, diagEnd) into `buf`
     * (ref cympx.pyx:82-102). Diagonal indexing starts at minlag+1.
+    *
+    * Two adjacent diagonals are interleaved per pass: the covariance
+    * update is a loop-carried FP add (~4-cycle latency), so a single
+    * diagonal leaves the FPU mostly idle; two independent chains overlap.
+    * Update order per row keeps diag before diag+1, so row-side results
+    * (including exact-tie index choices) match the sequential sweep; only
+    * col-side exact Pearson ties may resolve to the other diagonal.
     */
   def selfJoinBlock(ts: Array[Double], w: Int, st: SelfStats,
       diagStart: Int, diagEnd: Int, buf: PearsonBuf): Unit = {
@@ -56,7 +63,88 @@ object Mpx {
     val mu = st.mu
     val mu0 = mu(0)
     var diag = diagStart
-    while (diag < diagEnd) {
+    while (diag + 1 < diagEnd) {
+      val muD1 = mu(diag)
+      val muD2 = mu(diag + 1)
+      var c1 = 0.0
+      var c2 = 0.0
+      var i = 0
+      while (i < w) {
+        val lo = ts(i) - mu0
+        c1 += (ts(diag + i) - muD1) * lo
+        c2 += (ts(diag + 1 + i) - muD2) * lo
+        i += 1
+      }
+      var offset = 0
+      val offEnd2 = n - w - diag // rows where diag+1 is still in range
+      // diag+1's col-side target at row t is diag's col-side target at row
+      // t+1, and the sequential sweep applies diag's update FIRST — so
+      // diag+1's col update is held one iteration in a delay slot to keep
+      // exact-tie index choices identical to the reference order
+      var pendVal = -2.0
+      var pendIdx = -1
+      while (offset < offEnd2) {
+        val col1 = offset + diag
+        val col2 = col1 + 1
+        val dfo = df(offset)
+        val dgo = dg(offset)
+        c1 += dfo * dg(col1) + df(col1) * dgo
+        c2 += dfo * dg(col2) + df(col2) * dgo
+        val sigo = sig(offset)
+        val cCmpA = c1 * sigo * sig(col1)
+        val cCmpB = c2 * sigo * sig(col2)
+        if (cCmpA > mp(offset)) {
+          mp(offset) = cCmpA
+          mpi(offset) = col1
+        }
+        if (cCmpB > mp(offset)) {
+          mp(offset) = cCmpB
+          mpi(offset) = col2
+        }
+        if (cCmpA > mp(col1)) {
+          mp(col1) = if (cCmpA > 1.0) 1.0 else cCmpA
+          mpi(col1) = offset
+        }
+        if (pendVal > mp(col1)) { // diag+1's update for col1, one row old
+          mp(col1) = if (pendVal > 1.0) 1.0 else pendVal
+          mpi(col1) = pendIdx
+        }
+        pendVal = cCmpB
+        pendIdx = offset
+        offset += 1
+      }
+      // last row of the lower diagonal (diag+1 already exhausted)
+      if (offset < n - w - diag + 1) {
+        val col1 = offset + diag
+        c1 += df(offset) * dg(col1) + df(col1) * dg(offset)
+        var cCmp = c1 * sig(offset) * sig(col1)
+        if (cCmp > mp(offset)) {
+          mp(offset) = cCmp
+          mpi(offset) = col1
+        }
+        if (cCmp > mp(col1)) {
+          if (cCmp > 1.0) cCmp = 1.0
+          mp(col1) = cCmp
+          mpi(col1) = offset
+        }
+        if (pendVal > mp(col1)) { // flush diag+1's final col update
+          mp(col1) = if (pendVal > 1.0) 1.0 else pendVal
+          mpi(col1) = pendIdx
+        }
+        pendVal = -2.0
+      }
+      // flush if the diag tail never ran (cannot happen for diag pairs
+      // inside the range, but keep the slot drained for safety)
+      if (pendVal > -2.0 && offEnd2 > 0) {
+        val colLast = (offEnd2 - 1) + diag + 1
+        if (pendVal > mp(colLast)) {
+          mp(colLast) = if (pendVal > 1.0) 1.0 else pendVal
+          mpi(colLast) = pendIdx
+        }
+      }
+      diag += 2
+    }
+    if (diag < diagEnd) {
       var c = 0.0
       val muD = mu(diag)
       var i = diag
