@@ -44,16 +44,34 @@ object Mpx {
 
   /** Process self-join diagonals [diagStart, diagEnd) into `buf`
     * (ref cympx.pyx:82-102). Diagonal indexing starts at minlag+1.
-    *
-    * Two adjacent diagonals are interleaved per pass: the covariance
-    * update is a loop-carried FP add (~4-cycle latency), so a single
-    * diagonal leaves the FPU mostly idle; two independent chains overlap.
-    * Update order per row keeps diag before diag+1, so row-side results
-    * (including exact-tie index choices) match the sequential sweep; only
-    * col-side exact Pearson ties may resolve to the other diagonal.
     */
   def selfJoinBlock(ts: Array[Double], w: Int, st: SelfStats,
-      diagStart: Int, diagEnd: Int, buf: PearsonBuf): Unit = {
+      diagStart: Int, diagEnd: Int, buf: PearsonBuf): Unit =
+    selfSweep(ts, w, st, diagStart, diagEnd, Int.MaxValue, buf)
+
+  /** Tile variant for halo'd chunks: processes diagonals [diagStart,
+    * diagEnd) but only rows (offsets) [0, rowEnd) of each — the 2-D tile a
+    * distributed task owns. `slice` is the series slice starting at the
+    * tile's global row origin; `st` must be the stats OF THE SLICE
+    * (recomputed locally, so no state crosses task boundaries — the tile
+    * analog of the reference's batch seeding, stomp.py:100-105). Buffer
+    * indices are slice-local; the caller globalizes by adding the origin.
+    */
+  def selfJoinTile(slice: Array[Double], w: Int, st: SelfStats,
+      diagStart: Int, diagEnd: Int, rowEnd: Int, buf: PearsonBuf): Unit =
+    selfSweep(slice, w, st, diagStart, math.min(diagEnd, st.profileLen),
+      rowEnd, buf)
+
+  /** The shared sweep. Two adjacent diagonals are interleaved per pass:
+    * the covariance update is a loop-carried FP add (~4-cycle latency), so
+    * a single diagonal leaves the FPU mostly idle; two independent chains
+    * overlap. A one-iteration delay slot for the second diagonal's
+    * column-side update keeps exact-tie index choices identical to the
+    * sequential reference order (the ported goldens pin them on periodic,
+    * tie-heavy series).
+    */
+  private def selfSweep(ts: Array[Double], w: Int, st: SelfStats,
+      diagStart: Int, diagEnd: Int, rowBound: Int, buf: PearsonBuf): Unit = {
     val n = ts.length
     val mp = buf.mp
     val mpi = buf.mpi
@@ -76,11 +94,8 @@ object Mpx {
         i += 1
       }
       var offset = 0
-      val offEnd2 = n - w - diag // rows where diag+1 is still in range
-      // diag+1's col-side target at row t is diag's col-side target at row
-      // t+1, and the sequential sweep applies diag's update FIRST — so
-      // diag+1's col update is held one iteration in a delay slot to keep
-      // exact-tie index choices identical to the reference order
+      // rows where diag+1 is still in range (and under the tile bound)
+      val offEnd2 = math.min(rowBound, n - w - diag)
       var pendVal = -2.0
       var pendIdx = -1
       while (offset < offEnd2) {
@@ -113,8 +128,9 @@ object Mpx {
         pendIdx = offset
         offset += 1
       }
-      // last row of the lower diagonal (diag+1 already exhausted)
-      if (offset < n - w - diag + 1) {
+      // last row of the lower diagonal (when diag has one more row in
+      // range than diag+1 and the tile bound allows it)
+      if (offset < math.min(rowBound, n - w - diag + 1)) {
         val col1 = offset + diag
         c1 += df(offset) * dg(col1) + df(col1) * dg(offset)
         var cCmp = c1 * sig(offset) * sig(col1)
@@ -131,12 +147,9 @@ object Mpx {
           mp(col1) = if (pendVal > 1.0) 1.0 else pendVal
           mpi(col1) = pendIdx
         }
-        pendVal = -2.0
-      }
-      // flush if the diag tail never ran (cannot happen for diag pairs
-      // inside the range, but keep the slot drained for safety)
-      if (pendVal > -2.0 && offEnd2 > 0) {
-        val colLast = (offEnd2 - 1) + diag + 1
+      } else if (pendVal > -2.0) {
+        // row-bounded exit: drain the delay slot
+        val colLast = (offset - 1) + diag + 1
         if (pendVal > mp(colLast)) {
           mp(colLast) = if (pendVal > 1.0) 1.0 else pendVal
           mpi(colLast) = pendIdx
@@ -153,7 +166,7 @@ object Mpx {
         i += 1
       }
       var offset = 0
-      val offEnd = n - w - diag + 1
+      val offEnd = math.min(rowBound, n - w - diag + 1)
       while (offset < offEnd) {
         val col = offset + diag
         c += df(offset) * dg(col) + df(col) * dg(offset)
@@ -173,56 +186,6 @@ object Mpx {
     }
   }
 
-  /** Tile variant of selfJoinBlock for halo'd chunks: processes diagonals
-    * [diagStart, diagEnd) but only rows (offsets) [0, rowEnd) of each — the
-    * 2-D tile a distributed task owns. `slice` is the series slice starting
-    * at the tile's global row origin and extending through the last column
-    * window + w-1 halo; `st` must be the stats OF THE SLICE (recomputed
-    * locally, so no state crosses task boundaries — the tile analog of the
-    * reference's batch seeding, stomp.py:100-105). Buffer indices are
-    * slice-local; the caller globalizes by adding the row origin.
-    */
-  def selfJoinTile(slice: Array[Double], w: Int, st: SelfStats,
-      diagStart: Int, diagEnd: Int, rowEnd: Int, buf: PearsonBuf): Unit = {
-    val n = slice.length
-    val mp = buf.mp
-    val mpi = buf.mpi
-    val df = st.df
-    val dg = st.dg
-    val sig = st.sig
-    val mu = st.mu
-    val mu0 = mu(0)
-    var diag = diagStart
-    // a diagonal at or past the local profile length has no in-slice pair
-    val dEnd = math.min(diagEnd, st.profileLen)
-    while (diag < dEnd) {
-      var c = 0.0
-      val muD = mu(diag)
-      var i = diag
-      while (i < diag + w) {
-        c += (slice(i) - muD) * (slice(i - diag) - mu0)
-        i += 1
-      }
-      var offset = 0
-      val offEnd = math.min(rowEnd, n - w - diag + 1)
-      while (offset < offEnd) {
-        val col = offset + diag
-        c += df(offset) * dg(col) + df(col) * dg(offset)
-        var cCmp = c * sig(offset) * sig(col)
-        if (cCmp > mp(offset)) {
-          mp(offset) = cCmp
-          mpi(offset) = col
-        }
-        if (cCmp > mp(col)) {
-          if (cCmp > 1.0) cCmp = 1.0
-          mp(col) = cCmp
-          mpi(col) = offset
-        }
-        offset += 1
-      }
-      diag += 1
-    }
-  }
 
   /** Elementwise-max merge of Pearson buffers, clamping stored values at 1.0
     * (ref cympx.pyx:104-112). `a` is mutated and returned; order-insensitive
