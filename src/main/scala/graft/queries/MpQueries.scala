@@ -233,8 +233,8 @@ object MpQueries {
     val top1 = topKByLength(qs, 1)
     val pairRows = qs.joinWith(broadcast(top1), qs("user_id") =!= top1("user_id"), "inner")
     val brute = pairRows.map { case (u, q) =>
-      (u.user_id, q.user_id, e4(BruteMp.abMinDist(u.vi, q.vi, W)),
-        BruteMp.abMinDist(u.vi, q.vi, W))
+      val bmin = BruteMp.abMinDist(u.vi, q.vi, W)
+      (u.user_id, q.user_id, e4(bmin), bmin)
     }.toDF("user_id", "query_user", "min_join_dist_e4", "bmin")
     val abPairs = pairRows.map { case (u, q) =>
       DistributedMp.AbPair(u.user_id.toString, q.user_id.toString,
