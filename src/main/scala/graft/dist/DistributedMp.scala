@@ -84,23 +84,38 @@ object DistributedMp {
     // series emit halo'd tile descriptors that are spread across tasks by
     // the repartition below before the kernel runs
     val tasks = series.flatMap { s =>
-      val n = s.values.length
-      windows.iterator.filter(w => n >= 2 * w).flatMap { w =>
-        if (n < splitThreshold) {
-          val st = Mpx.selfStats(s.values, w)
-          val buf = Mpx.newBuf(st.profileLen)
-          Mpx.selfJoinBlock(s.values, w, st, st.minlag + 1, st.profileLen, buf)
-          Iterator(MpxTile(s.conv_id, s.kind, w, 0, 0, 0, 0, st.profileLen,
-            Array.empty, Some(MpxPartialAt(0, st.profileLen, buf.mp, buf.mpi))))
-        } else mpxTiles(s, w, tileSize)
-      }
+      windows.iterator.flatMap(w => seriesTasks(s, w, splitThreshold, tileSize))
     }
+    mergeSkimpTasks(tasks, tier)
+  }
 
+  /** Tasks for one (series, window): a complete in-place partial for a
+    * short series, halo'd tiles for a long one.
+    */
+  private def seriesTasks(s: SeriesRow, w: Int, splitThreshold: Int,
+      tileSize: Int): Iterator[MpxTile] = {
+    val n = s.values.length
+    if (n < 2 * w) Iterator.empty
+    else if (n < splitThreshold) {
+      val st = Mpx.selfStats(s.values, w)
+      val buf = Mpx.newBuf(st.profileLen)
+      Mpx.selfJoinBlock(s.values, w, st, st.minlag + 1, st.profileLen, buf)
+      Iterator(MpxTile(s.conv_id, s.kind, w, 0, 0, 0, 0, st.profileLen,
+        Array.empty, Some(MpxPartialAt(0, st.profileLen, buf.mp, buf.mpi))))
+    } else mpxTiles(s, w, tileSize)
+  }
+
+  /** Spread tiles across tasks, run the tile kernel, tree-merge segments,
+    * and finalize Euclidean profile rows.
+    */
+  private def mergeSkimpTasks(tasks: Dataset[MpxTile], tier: String): Dataset[MpProfileRow] = {
+    val spark = tasks.sparkSession
+    import spark.implicits._
     val partials = tasks
       .repartition($"conv_id", $"w", $"start", $"dLo") // spread tiles across tasks
       .map { t =>
         val p = t.pre.getOrElse {
-          val st = Mpx.selfStats(t.slice, w = t.w)
+          val st = Mpx.selfStats(t.slice, t.w)
           val buf = Mpx.newBuf(t.slice.length - t.w + 1)
           Mpx.selfJoinTile(t.slice, t.w, st, t.dLo, t.dHi, t.rowEnd, buf)
           var i = 0
@@ -126,6 +141,33 @@ object DistributedMp {
           Mpx.selfToEuclidean(buf, w), buf.mpi,
           Array.empty, Array.empty, Array.empty, Array.empty)
       }
+  }
+
+  /** SKIMP memoization (ref skimp.py:193-205): reuse (series, window)
+    * profiles already present in a prior PMP — only the missing grid
+    * cells are computed, then unioned with the prior rows. The have-set
+    * is tiny ((conv, kind) -> window set) and broadcasts; the prior
+    * profile rows never reshuffle.
+    */
+  def skimpProfilesReusing(series: Dataset[SeriesRow], windows: Array[Int],
+      tier: String, prior: Dataset[MpProfileRow],
+      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[MpProfileRow] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val have = prior.filter(p => windows.contains(p.w))
+    val haveSets = have.groupBy($"conv_id".as("c"), $"kind".as("k"))
+      .agg(org.apache.spark.sql.functions.collect_set($"w").as("haveW"))
+    val tasks = series.joinWith(org.apache.spark.sql.functions.broadcast(haveSets),
+        series("conv_id") === haveSets("c") && series("kind") === haveSets("k"),
+        "left_outer")
+      .flatMap { case (s, row) =>
+        val done: Set[Int] =
+          if (row == null) Set.empty
+          else row.getAs[scala.collection.Seq[Int]]("haveW").toSet
+        windows.iterator.filterNot(done.contains)
+          .flatMap(w => seriesTasks(s, w, splitThreshold, tileSize))
+      }
+    have.union(mergeSkimpTasks(tasks, tier))
   }
 
   /** One AB-join input pair. */

@@ -101,6 +101,21 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered == all.filter(_.startsWith("e")))
   }
 
+  test("skimp memoization reuses prior windows (ref skimp.py:193-205)") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(SeriesRow("c_sample", "gap_s", 0L, sampledata)))
+    val prior = DistributedMp.skimpProfiles(ds, Array(16), "raw")
+    val full = DistributedMp.skimpProfiles(ds, Array(16, 32), "raw").collect()
+    val reused = DistributedMp.skimpProfilesReusing(ds, Array(16, 32), "raw", prior)
+      .collect()
+    assert(full.length == 2 && reused.length == 2)
+    for (w <- Seq(16, 32)) {
+      val a = full.find(_.w == w).get
+      val b = reused.find(_.w == w).get
+      assert(a.mp.toSeq == b.mp.toSeq && a.pi.toSeq == b.pi.toSeq, s"w=$w")
+    }
+  }
+
   test("tiled distributed AB join equals the single-task cympx sweep") {
     import spark.implicits._
     val a = sampledata
