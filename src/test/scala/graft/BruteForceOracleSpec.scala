@@ -63,6 +63,76 @@ class BruteForceOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("BruteMp twin matches mpx on random quantized series, incl. " +
+      "constant windows (the oracle-gate agreement property)") {
+    val rng = new java.util.Random(2026)
+    for (trial <- 1 to 8) {
+      val n = 60 + rng.nextInt(180)
+      val w = Seq(4, 8, 12, 16)(rng.nextInt(4))
+      if (n >= 2 * w) {
+        val vi = Array.fill(n)((rng.nextDouble() * 4e6).toLong)
+        // plant a constant run so sigma=0 windows are exercised
+        if (trial % 2 == 0) {
+          val at = rng.nextInt(n - w)
+          java.util.Arrays.fill(vi, at, at + w, 123456L)
+        }
+        val r = graft.kernels.BruteMp.selfProfile(vi, w)
+        val (kmp, _) = Mpx.mpxSelf(vi.map(_.toDouble), w)
+        assert(r.mp.length == kmp.length)
+        var bad = 0
+        for (i <- kmp.indices)
+          if (math.abs(r.mp(i) - kmp(i)) > 1e-6) bad += 1
+        assert(bad == 0, s"trial $trial n=$n w=$w: $bad positions disagree > 1e-6")
+      }
+    }
+  }
+
+  test("tiled skimp/stomp equal their unsplit kernels on random series " +
+      "(randomized tile geometry)") {
+    val rng = new java.util.Random(77)
+    for (trial <- 1 to 4) {
+      val n = 400 + rng.nextInt(600)
+      val w = 8 + rng.nextInt(24)
+      val ts = Array.fill(n)(rng.nextDouble() * 10 - 5)
+      val tile = 32 + rng.nextInt(200)
+      // mpx tile sweep directly (no Spark): merge all tiles by hand
+      val plen = n - w + 1
+      val st = Mpx.selfStats(ts, w)
+      val full = Mpx.newBuf(plen)
+      Mpx.selfJoinBlock(ts, w, st, st.minlag + 1, plen, full)
+      Mpx.clampBuf(full)
+      val merged = Mpx.newBuf(plen)
+      val b = tile
+      val rTiles = math.ceil(plen.toDouble / b).toInt
+      for {
+        rb <- 0 until rTiles
+        rLo = rb * b
+        db <- 0 until rTiles
+        dLo = math.max(st.minlag + 1, db * b)
+        dHi = math.min((db + 1) * b, plen)
+        if dLo < dHi
+        rHi = math.min(math.min((rb + 1) * b, plen), plen - dLo)
+        if rLo < rHi
+      } {
+        val colMax = math.min(plen - 1, rHi - 1 + dHi - 1)
+        val slice = java.util.Arrays.copyOfRange(ts, rLo, colMax + w)
+        val lst = Mpx.selfStats(slice, w)
+        val buf = Mpx.newBuf(slice.length - w + 1)
+        Mpx.selfJoinTile(slice, w, lst, dLo, dHi, rHi - rLo, buf)
+        for (i <- buf.mp.indices if buf.mp(i) > merged.mp(rLo + i)) {
+          merged.mp(rLo + i) = math.min(buf.mp(i), 1.0)
+          merged.mpi(rLo + i) = buf.mpi(i) + rLo
+        }
+      }
+      Mpx.clampBuf(merged)
+      val fullE = Mpx.selfToEuclidean(full, w)
+      val mergedE = Mpx.selfToEuclidean(merged, w)
+      for (i <- fullE.indices)
+        assert(math.abs(fullE(i) - mergedE(i)) < 1e-8,
+          s"trial $trial n=$n w=$w tile=$tile pos $i: ${fullE(i)} vs ${mergedE(i)}")
+    }
+  }
+
   test("oracle agreement holds with spikes and near-constant segments") {
     val rng = new java.util.Random(42)
     val ts = Array.tabulate(150) { i =>
