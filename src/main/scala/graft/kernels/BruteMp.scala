@@ -92,17 +92,6 @@ object BruteMp {
     SelfResult(mp, pi)
   }
 
-  /** Global minimum pair distance of the self-join (the PMP summary used
-    * by q13): min over all pairs with lag > minlag.
-    */
-  def selfMinDist(v: Array[Long], w: Int): Double = {
-    val r = selfProfile(v, w)
-    var best = Double.PositiveInfinity
-    var i = 0
-    while (i < r.mp.length) { if (r.mp(i) < best) best = r.mp(i); i += 1 }
-    best
-  }
-
   final case class AbResult(mpA: Array[Double], piA: Array[Int],
       mpB: Array[Double], piB: Array[Int])
 
@@ -163,9 +152,6 @@ object BruteMp {
     while (i < r.mpA.length) { if (r.mpA(i) < best) best = r.mpA(i); i += 1 }
     best
   }
-
-  /** First index of the minimum (strict <, first-min-wins — Core.argmin). */
-  def argminPos(a: Array[Double]): Int = Core.argmin(a)
 
   /** Simplified top-k motif pairs with a SQL-expressible selection rule:
     * pick the global (mp, pos)-minimum position a with pair b = pi(a),

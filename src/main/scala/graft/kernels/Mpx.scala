@@ -65,10 +65,15 @@ object Mpx {
   /** The shared sweep. Two adjacent diagonals are interleaved per pass:
     * the covariance update is a loop-carried FP add (~4-cycle latency), so
     * a single diagonal leaves the FPU mostly idle; two independent chains
-    * overlap. A one-iteration delay slot for the second diagonal's
-    * column-side update keeps exact-tie index choices identical to the
-    * sequential reference order (the ported goldens pin them on periodic,
-    * tie-heavy series).
+    * overlap. A one-iteration delay slot applies the second diagonal's
+    * column-side update after the first's for the same position, which
+    * restores the sequential order for all col-vs-col and row-vs-row
+    * exact-Pearson ties (the cases the ported goldens pin on periodic
+    * series). The one remaining reorder: diag+1's COLUMN update of
+    * position P now precedes diag's ROW update of P — an exact tie
+    * between those two candidates (pairs (P-D-1, P) and (P, P+D) with
+    * bit-equal correlation) resolves to the former; no fixture or random
+    * gate exhibits such a cross-kind tie.
     */
   private def selfSweep(ts: Array[Double], w: Int, st: SelfStats,
       diagStart: Int, diagEnd: Int, rowBound: Int, buf: PearsonBuf): Unit = {

@@ -217,25 +217,31 @@ object Stomp {
     var i = rLo
     while (i < rHi) {
       val li = i - rLo
-      if (li > 0) {
-        val qLast = rowSlice(li + w - 1)
-        querySum = querySum - dropValue + qLast
-        query2Sum = query2Sum - dropValue * dropValue + qLast * qLast
-        // shifted product, descending so new[j] reads prior row's j-1
-        var j = cols - 1
-        while (j >= 1) {
-          product(j) = product(j - 1) - colSlice(j - 1) * dropValue +
-            colSlice(w + j - 1) * qLast
-          j -= 1
-        }
-        // left edge re-seed: direct O(w) dot of row window vs col window
-        var seed = 0.0
-        var t = 0
-        while (t < w) { seed += rowSlice(li + t) * colSlice(t); t += 1 }
-        product(0) = seed
-        dropValue = rowSlice(li)
-      }
+      // the running state does NOT advance over skipped (NaN-window) rows,
+      // mirroring batchCompute / stomp.py:121. Note the reference makes
+      // post-NaN rows decomposition-DEPENDENT (a batch seeded after the
+      // NaN restarts clean while a continuation carries stale state), so
+      // NaN-bearing series are only well-defined after gap-fill/preprocess
+      // — which is why skip handling upstream matters.
       if (!skipRows(li)) {
+        if (li > 0) {
+          val qLast = rowSlice(li + w - 1)
+          querySum = querySum - dropValue + qLast
+          query2Sum = query2Sum - dropValue * dropValue + qLast * qLast
+          // shifted product, descending so new[j] reads prior row's j-1
+          var j = cols - 1
+          while (j >= 1) {
+            product(j) = product(j - 1) - colSlice(j - 1) * dropValue +
+              colSlice(w + j - 1) * qLast
+            j -= 1
+          }
+          // left edge re-seed: direct O(w) dot of row window vs col window
+          var seed = 0.0
+          var t = 0
+          while (t < w) { seed += rowSlice(li + t) * colSlice(t); t += 1 }
+          product(0) = seed
+          dropValue = rowSlice(li)
+        }
         val queryMu = querySum / w
         val sigSq = query2Sum / w - queryMu * queryMu
         val querySig = math.sqrt(if (sigSq < 0) 0.0 else sigSq)

@@ -31,9 +31,15 @@ object Dedup {
       .select(col(idCol), $"content_hash", $"group_size", $"keep")
   }
 
+  // one digest per task thread; digest() resets it, so reuse is safe and
+  // avoids a provider lookup + allocation per hash on the hot path
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
     val sb = new java.lang.StringBuilder(32)
     var i = 0
     while (i < d.length) {

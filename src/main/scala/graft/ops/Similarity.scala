@@ -64,11 +64,12 @@ object Similarity {
     sb.toString
   }
 
-  /** Embedding width, read once from the data (the judge-visible fix for
-    * the round-1 hardcoded dim): one tiny head() job at plan-build time.
+  /** Embedding width, read once from the data: one tiny take(1) job at
+    * plan-build time; an empty input yields 1 (any dim works — there are
+    * no rows to bucket).
     */
   def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+    df.select(size(col(vecCol))).take(1).headOption.map(_.getInt(0)).getOrElse(1)
 
   /** The sign-bit of `vec · signs` as a '1'/'0' char column: dot is a
     * strict left fold of ±x_j in index order.
@@ -82,10 +83,11 @@ object Similarity {
 
   /** One bucket-key row per (vector, table): key = "t:bitstring" over
     * `planes` hyperplanes. Output columns: all input columns + bkey.
+    * Pass `dim` when already known to avoid the plan-build take(1) job.
     */
   def withBucketKeys(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, tables: Int, seed: Long): DataFrame = {
-    val dim = vecDim(df, vecCol)
+      planes: Int, tables: Int, seed: Long, dim0: Int = -1): DataFrame = {
+    val dim = if (dim0 > 0) dim0 else vecDim(df, vecCol)
     val keys = (0 until tables).map { t =>
       concat(lit(s"$t:"), concat((0 until planes).map(p =>
         bucketBit(col(vecCol), hyperplaneSigns(t, p, dim, seed))): _*))
@@ -100,9 +102,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       planes: Int = 10, tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val qb = broadcast(withBucketKeys(queries, idCol, vecCol, planes, tables, seed)
+    val dim = vecDim(corpus, vecCol)
+    val qb = broadcast(withBucketKeys(queries, idCol, vecCol, planes, tables, seed, dim)
       .select($"bkey", col(idCol).as("query_id"), col(vecCol).as("q_v")))
-    val cb = withBucketKeys(corpus, idCol, vecCol, planes, tables, seed)
+    val cb = withBucketKeys(corpus, idCol, vecCol, planes, tables, seed, dim)
       .select($"bkey", col(idCol).as("neighbor_id"), col(vecCol).as("c_v"))
     val cands = cb.join(qb, Seq("bkey"))
       .where($"query_id" =!= $"neighbor_id")

@@ -52,10 +52,12 @@ object MpQueries {
     qs.map(q => SeriesRow(q.user_id.toString, "v", 0L, q.vi.map(_.toDouble)))
   }
 
-  /** Smallest n the oracle emits a profile for: pd needs one diagonal,
-    * i.e. plen >= minlag+2.
+  /** Smallest n for which EVERY profile position has an admissible pair
+    * (plen >= 2*(minlag+1): position i needs a partner at lag > minlag on
+    * one side) — below this the oracle's mp CTE would omit partnerless
+    * positions while the brute twin reports the full profile length.
     */
-  def minN(w: Int): Int = w + math.ceil(w / 4.0).toInt + 1
+  def minN(w: Int): Int = w - 1 + 2 * (math.ceil(w / 4.0).toInt + 1)
 
   /** max |a-b| < tol elementwise over two double-array columns (codegen). */
   private def agreeCol(a: Column, b: Column): Column =
@@ -115,7 +117,10 @@ object MpQueries {
       .map(p => (p.conv_id.toLong, p.mp)).toDF("kuid", "kmp")
     brute.join(kern, $"user_id" === $"kuid", "left")
       .select($"user_id", $"rank", $"motif_a", $"motif_b",
-        when($"kmp".isNull, lit(true))
+        // a missing kernel row is only excusable when the series is too
+        // short for the kernel (plen < w+1 <=> n < 2w); a silently dropped
+        // row on a long-enough series must read FALSE
+        when($"kmp".isNull, size($"bmp") < W + 1)
           .otherwise(agreeCol($"bmp", $"kmp")).as("kernel_agree"))
   }
 
@@ -175,7 +180,7 @@ object MpQueries {
     */
   def q12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val top = topKByLength(quantSeries(s, dir), 5)
+    val top = topKByLength(quantSeries(s, dir).filter(_.vi.length >= W), 5)
     val l = top.as("l")
     val r = top.as("r")
     l.joinWith(r, col("l.user_id") < col("r.user_id"), "inner").map { case (a, b) =>
@@ -202,7 +207,8 @@ object MpQueries {
       .map(p => (p.conv_id.toLong, p.w.toLong, p.mp)).toDF("kuid", "kw", "kmp")
     brute.join(kern, $"user_id" === $"kuid" && $"window" === $"kw", "left")
       .select($"user_id", $"window", $"min_mp_e4",
-        when($"kmp".isNull, lit(true))
+        // missing kernel rows only excusable below the kernel's n >= 2w bar
+        when($"kmp".isNull, size($"bmp") < $"window" + 1)
           .otherwise(agreeCol($"bmp", $"kmp")).as("kernel_agree"))
   }
 
@@ -229,7 +235,9 @@ object MpQueries {
     */
   def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val qs = quantSeries(s, dir)
+    // the oracle emits a row for any user with >= 1 window (n >= w);
+    // shorter series would crash the twin kernels, so mirror that bound
+    val qs = quantSeries(s, dir).filter(_.vi.length >= W)
     val top1 = topKByLength(qs, 1)
     val pairRows = qs.joinWith(broadcast(top1), qs("user_id") =!= top1("user_id"), "inner")
     val brute = pairRows.map { case (u, q) =>
@@ -251,7 +259,9 @@ object MpQueries {
     }.toDF("kuid", "kmin")
     brute.join(kern, $"user_id" === $"kuid", "left")
       .select($"user_id", $"query_user", $"min_join_dist_e4",
-        when($"kmin".isNull, lit(true))
+        // mpxAbProfiles covers every pair with >= 1 window per side, which
+        // the n >= w filter above guarantees — a missing row is a failure
+        when($"kmin".isNull, lit(false))
           .otherwise(abs($"kmin" - $"bmin") < AgreeTol).as("kernel_agree"))
   }
 
@@ -277,7 +287,7 @@ object MpQueries {
     */
   def q30(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val top = topKByLength(quantSeries(s, dir), 8)
+    val top = topKByLength(quantSeries(s, dir).filter(_.vi.length >= W), 8)
     val l = top.as("l")
     val r = top.as("r")
     val pairRows = l.joinWith(r, col("l.user_id") < col("r.user_id"), "inner").map { case (a, b) =>

@@ -229,10 +229,13 @@ GROUP BY user_id"""
 
   // ---- AB-join family --------------------------------------------------
 
-  private def topkCte(k: Int): String =
+  /** Top-k users by (capped) length — only users with at least one full
+    * window rank, mirroring the Spark side's n >= w filter.
+    */
+  private def topkCte(k: Int, w: Int): String =
     s"""nlen AS MATERIALIZED (SELECT user_id, count(*)::BIGINT AS n FROM pts GROUP BY 1),
 topk AS MATERIALIZED (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id ASC) AS rk
-         FROM nlen QUALIFY rk <= $k)"""
+         FROM nlen WHERE n >= $w QUALIFY rk <= $k)"""
 
   private def abBaseCtes(w: Int): String =
     s"""pos AS MATERIALIZED (
@@ -291,7 +294,7 @@ mpd AS MATERIALIZED (
   /** q12: MPDist over all pairs of the 5 longest user series. */
   def q12(w: Int = 8): String =
     s"""WITH $ptsCte,
-${topkCte(5)},
+${topkCte(5, w)},
 prs AS (SELECT a.user_id AS ua, b.user_id AS ub FROM topk a JOIN topk b ON a.user_id < b.user_id),
 ${abBaseCtes(w)},
 ${abDistCtes(w, "prs")},
@@ -302,7 +305,7 @@ FROM mpd"""
   /** q28: minimum AB-join distance of every user vs the longest series. */
   def q28(w: Int = 8): String =
     s"""WITH $ptsCte,
-${topkCte(1)},
+${topkCte(1, w)},
 prs AS (SELECT n.user_id AS ua, t.user_id AS ub FROM nlen n, topk t WHERE n.user_id <> t.user_id),
 ${abBaseCtes(w)},
 ${abDistCtes(w, "prs")}
@@ -321,7 +324,9 @@ FROM abd GROUP BY 1, 2"""
       s"""mk$step AS MATERIALIZED (
   SELECT e.ua, e.ub, a.comp AS ca, b.comp AS cb
   FROM mpd e JOIN $prev a ON e.ua = a.user_id JOIN $prev b ON e.ub = b.user_id
-  WHERE a.comp <> b.comp ORDER BY e.mpdist ASC, e.ua ASC, e.ub ASC LIMIT 1),
+  WHERE a.comp <> b.comp
+    AND (SELECT count(DISTINCT comp) FROM $prev) > 3
+  ORDER BY e.mpdist ASC, e.ua ASC, e.ub ASC LIMIT 1),
 c$step AS MATERIALIZED (
   SELECT c.user_id,
          CASE WHEN c.comp IN (SELECT ca FROM mk$step UNION ALL SELECT cb FROM mk$step)
@@ -329,7 +334,7 @@ c$step AS MATERIALIZED (
   FROM $prev c)"""
     }
     s"""WITH $ptsCte,
-${topkCte(8)},
+${topkCte(8, w)},
 prs AS (SELECT a.user_id AS ua, b.user_id AS ub FROM topk a JOIN topk b ON a.user_id < b.user_id),
 ${abBaseCtes(w)},
 ${abDistCtes(w, "prs")},

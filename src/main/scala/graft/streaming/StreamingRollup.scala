@@ -80,6 +80,13 @@ object StreamingRollup {
     * engine's custom-state streaming operator (SURVEY §2.7): windowed
     * aggregation covers the tiers; nearest-neighbor novelty needs
     * KeyValueGroupedDataset state.
+    *
+    * Ordering contract: points are sorted WITHIN a micro-batch, but a
+    * point arriving in a later batch with an earlier event time appends
+    * out of order (there is no watermark here — novelty scores are
+    * position-indexed and already emitted). Feed this operator from a
+    * watermarked upstream (e.g. the 1m tier) or an in-order source; late
+    * stragglers are reconciled by the batch backfill, like minuteTier's.
     */
   def streamingLeftProfile(stream: Dataset[PointIn], w: Int,
       maxHistory: Int = 1 << 14): Dataset[LeftProfileScore] = {
