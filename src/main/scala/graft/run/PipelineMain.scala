@@ -61,16 +61,27 @@ object PipelineMain {
       (0L, spark.read.parquet(out).count())
     }
 
-    // stage 4: continuous aggregates 1m -> 1h -> 1d (chained, salted)
+    // stage 4: continuous aggregates 1m -> 1h -> 1d (chained, salted),
+    // then retention: coarse tiers are derived from the FULL fine tier
+    // first, after which the fine tiers keep only their horizon
+    // (1m: 3 days, 1h: 30 days, 1d: forever — the north rule's
+    // "retention drops old fine-tier buckets")
     val tiersPath = ledger.stage("tiers") { out =>
       val raw = points.where($"kind" === "token_len_t")
       val m1 = Rollup.rollupRaw(raw, "1m")
-      m1.write.mode(SaveMode.Overwrite).parquet(s"$out/m1")
-      val m1r = spark.read.parquet(s"$out/m1").as[TierAgg]
+      m1.write.mode(SaveMode.Overwrite).parquet(s"$out/m1_full")
+      val m1r = spark.read.parquet(s"$out/m1_full").as[TierAgg]
       val h1 = Rollup.rollupTier(m1r, "1h")
-      h1.write.mode(SaveMode.Overwrite).parquet(s"$out/h1")
-      val d1 = Rollup.rollupTier(spark.read.parquet(s"$out/h1").as[TierAgg], "1d")
+      h1.write.mode(SaveMode.Overwrite).parquet(s"$out/h1_full")
+      val h1r = spark.read.parquet(s"$out/h1_full").as[TierAgg]
+      val d1 = Rollup.rollupTier(h1r, "1d")
       d1.write.mode(SaveMode.Overwrite).parquet(s"$out/d1")
+      val maxBucket = m1r.agg(max($"bucket")).as[Long].first()
+      val day = 24L * 3600 * 1000000
+      Rollup.applyRetention(m1r, maxBucket - 3 * day)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/m1")
+      Rollup.applyRetention(h1r, maxBucket - 30 * day)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/h1")
       (raw.count(), m1r.count())
     }
 

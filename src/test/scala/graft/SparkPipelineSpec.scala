@@ -89,6 +89,22 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertAlmostEqual(sSplit.rmp, sUnsplit.rmp, decimal = 8)
   }
 
+  test("tier retention keeps exactly the post-cutoff buckets (north-rule " +
+      "retention: fine tiers keep short horizons)") {
+    import spark.implicits._
+    val transcripts = spark.createDataset(TranscriptGen.fixtureConversations(42L))
+    val pts = transcripts.select($"conv_id", lit("t").as("kind"),
+      unix_micros($"ts").as("bucket"), length($"text").cast("double").as("value"))
+      .as[SeriesPoint]
+    val m1 = Rollup.rollupRaw(pts, "1m")
+    val all = m1.collect()
+    val cutoff = all.map(_.bucket).sorted.apply(all.length / 2)
+    val kept = Rollup.applyRetention(m1, cutoff).collect()
+    assert(kept.forall(_.bucket >= cutoff))
+    assert(kept.length == all.count(_.bucket >= cutoff) && kept.nonEmpty)
+    assert(kept.length < all.length, "cutoff should drop some buckets")
+  }
+
   test("catalog fetch_available lists parquet tables with category filter " +
       "(ref datasets/datasets.py:48-92)") {
     val dir = "/root/testdata/sf0.001"
