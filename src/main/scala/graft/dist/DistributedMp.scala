@@ -6,20 +6,26 @@ import graft.schema.MpProfileRow
 
 /** Distributed matrix-profile orchestration.
   *
-  * The parallel axis is (conversation, kind, tier) — embarrassingly
-  * parallel, one kernel call per series. Series longer than
-  * `splitThreshold` additionally split *within* the series: MPX diagonal
-  * ranges / STOMP row batches become independent tasks whose partial
-  * (profile, index) buffers reduce through the ProfileMerge Aggregators
-  * (the reference's per-thread buffers and batch merge — cympx.pyx:72-73,
-  * stomp.py:340-357 — lifted to partition granularity).
+  * The parallel axis is (conversation, kind, tier, window) —
+  * embarrassingly parallel, one kernel call per series (or per
+  * (series, window) for SKIMP). Series longer than `splitThreshold`
+  * additionally split *within* the series into halo'd 2-D tiles — MPX:
+  * (row-block × diagonal-block); STOMP: (row-block × col-block); AB join:
+  * (signed-diagonal-block × B-position-block) — where every task receives
+  * ONLY its tile's slice (≤ 2·tileSize+w−1 points, never the whole
+  * series) and emits a profile SEGMENT that the offset-aware ProfileMerge
+  * Aggregators reduce (the reference's per-thread buffers and batch
+  * merge — cympx.pyx:72-73, stomp.py:340-357 — lifted to partition
+  * granularity).
   *
   * Short and long series flow through ONE plan: a short series emits a
-  * single complete partial (merge is identity on it), a long series emits
-  * one partial per block — one input scan, one shuffle, map-side combine.
-  * Each split task re-derives its seed state (muinvn stats + one O(w·n)
-  * scan for MPX, one FFT for STOMP) exactly like the reference's non-zero
-  * batches (stomp.py:103-105), so no state crosses task boundaries.
+  * single complete partial (merge is identity on it), a long series one
+  * segment per tile — one input scan, one shuffle, map-side combine.
+  * Each tile re-derives its seed state from its own slice (muinvn stats +
+  * O(w) per-diagonal seeds for MPX, one FFT over the column slice for
+  * STOMP) exactly like the reference's non-zero batches
+  * (stomp.py:103-105), so no state crosses task boundaries; slice-local
+  * stats differ from whole-series stats only in final ULPs (gated 1e-8).
   */
 object DistributedMp {
 
