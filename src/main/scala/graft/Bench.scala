@@ -103,7 +103,12 @@ object Bench {
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries persist shared intermediates (LSH signatures, quantized
+        // series) — drop them so each query is timed cold and caches don't
+        // accumulate across the suite
+        spark.catalog.clearCache()
+        name -> dt
       }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.ops.ColSyntax._
 
 /** Deduplication operators over a documents table: exact, MinHash+LSH,
@@ -65,7 +66,9 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.trim.toLowerCase.split("\\s+")
+          // Locale.ROOT: JVM-default-locale lowercasing (e.g. tr_TR dotless
+          // ı) would silently diverge from SQL lower() semantics
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           if (toks.length < shingleK) Iterator.empty
           else {
             val nSh = toks.length - shingleK + 1
@@ -110,8 +113,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // the md5-heavy signature stage fans out to three consumers (banding +
+    // both verify sides) with different downstream partitionings — persist
+    // it so the corpus is scanned and hashed ONCE, not 3x (at 100 TB this
+    // would be a checkpoint to parquet instead)
     val sigs = minhashSignature(
       docs.withColumnRenamed(idCol, "doc_id"), textCol, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select($"id",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -150,7 +158,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.trim.toLowerCase.split("\\s+")
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           val votes = new Array[Int](64)
           var ti = 0
           while (ti < toks.length) {
@@ -190,7 +198,8 @@ object Dedup {
       (off + len, base + (if (b < extra) 1 else 0))
     }.tail
 
-    val sig = simhash(docs, idCol, textCol)
+    // 3 consumers (banding + both verify sides): hash once, reuse cached
+    val sig = simhash(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select($"id",
       posexplode(array(ranges.map { case (off, len) =>
         substring($"simhash", off + 1, len)
@@ -221,15 +230,22 @@ object Dedup {
   def embeddingDups(embeds: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.9,
       planes: Int = 12, tables: Int = 4): DataFrame = {
-    val withB = Similarity.withBucketKeys(embeds, idCol, vecCol, planes, tables, seed = 7)
-    val l = withB.select($"bkey", col(idCol).as("id_a"))
-    val r = withB.select($"bkey", col(idCol).as("id_b"))
+    // vectors are consumed by key generation AND both verify sides: cache
+    // the projected scan once; the hyperplane-fold key stage is cached as
+    // an id+bkey projection so its (tables x planes x dim) folds run once
+    val vecs = embeds.select(col(idCol), col(vecCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keys = Similarity.withBucketKeys(vecs, idCol, vecCol, planes, tables, seed = 7)
+      .select($"bkey", col(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = keys.select($"bkey", col(idCol).as("id_a"))
+    val r = keys.select($"bkey", col(idCol).as("id_b"))
     val candidates = l.join(r, Seq("bkey"))
       .where($"id_a" < $"id_b")
       .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
-    val va = embeds.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val vb = embeds.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     candidates.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine", Similarity.cosine($"v_a", $"v_b"))
       .where($"cosine" >= threshold)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import graft.dist.DistributedMp
 import graft.dist.DistributedMp.SeriesRow
 import graft.kernels._
@@ -24,6 +25,15 @@ object MpQueries {
 
   val W = 8
   val AgreeTol = 1e-6
+
+  /** quantSeries cached: every MP query feeds the windowed/groupByKey'd
+    * per-user series to at least two consumers (the brute twin and the
+    * kernel path, or a top-k selection plus the pair fan-out) — persisting
+    * makes the events scan + window shuffle happen ONCE per query instead
+    * of once per consumer.
+    */
+  def quantSeriesCached(s: SparkSession, dir: String): Dataset[QSeries] =
+    quantSeries(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Per-user series capped at OracleSqlGen.Cap points ordered by
     * (ts, event_id), values quantized to round(value*10000) — exactly the
@@ -72,7 +82,7 @@ object MpQueries {
     */
   def q07(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val qs = quantSeries(s, dir)
+    val qs = quantSeriesCached(s, dir)
     val brute = qs.filter(_.vi.length >= minN(W)).map { q =>
       val r = BruteMp.selfProfile(q.vi, W)
       val mi = Core.argmin(r.mp)
@@ -106,7 +116,7 @@ object MpQueries {
     */
   def q09(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val qs = quantSeries(s, dir)
+    val qs = quantSeriesCached(s, dir)
     val brute = qs.filter(_.vi.length >= minN(W)).flatMap { q =>
       val r = BruteMp.selfProfile(q.vi, W)
       BruteMp.motifPairs(r.mp, r.pi, ez = 2, k = 2).zipWithIndex.map {
@@ -180,7 +190,8 @@ object MpQueries {
     */
   def q12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val top = topKByLength(quantSeries(s, dir).filter(_.vi.length >= W), 5)
+    val top = topKByLength(quantSeriesCached(s, dir).filter(_.vi.length >= W), 5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = top.as("l")
     val r = top.as("r")
     l.joinWith(r, col("l.user_id") < col("r.user_id"), "inner").map { case (a, b) =>
@@ -196,7 +207,7 @@ object MpQueries {
   def q13(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val windows = Array(8, 12, 16)
-    val qs = quantSeries(s, dir)
+    val qs = quantSeriesCached(s, dir)
     val brute = qs.flatMap { q =>
       windows.iterator.filter(w => q.vi.length >= minN(w)).map { w =>
         val mp = BruteMp.selfProfile(q.vi, w).mp
@@ -237,7 +248,7 @@ object MpQueries {
     import s.implicits._
     // the oracle emits a row for any user with >= 1 window (n >= w);
     // shorter series would crash the twin kernels, so mirror that bound
-    val qs = quantSeries(s, dir).filter(_.vi.length >= W)
+    val qs = quantSeriesCached(s, dir).filter(_.vi.length >= W)
     val top1 = topKByLength(qs, 1)
     val pairRows = qs.joinWith(broadcast(top1), qs("user_id") =!= top1("user_id"), "inner")
     val brute = pairRows.map { case (u, q) =>
@@ -287,7 +298,8 @@ object MpQueries {
     */
   def q30(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val top = topKByLength(quantSeries(s, dir).filter(_.vi.length >= W), 8)
+    val top = topKByLength(quantSeriesCached(s, dir).filter(_.vi.length >= W), 8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = top.as("l")
     val r = top.as("r")
     val pairRows = l.joinWith(r, col("l.user_id") < col("r.user_id"), "inner").map { case (a, b) =>

@@ -160,6 +160,24 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LSH dedup and MP queries cache their shared stage: the signature/" +
+      "series scan appears as a reused InMemoryRelation, not a recompute") {
+    val dir = "/root/testdata/sf0.001"
+    def imrCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }.size
+    for (q <- Seq("q20_minhash_lsh", "q21_simhash_pairs", "q25_embedding_dups",
+        "q07_matrix_profile", "q09_motifs", "q13_pan_matrix_profile",
+        "q28_ab_join")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      assert(imrCount(df) >= 2,
+        s"$q: expected the shared stage (signatures / quantized series) to be " +
+          "persisted and consumed from cache by every downstream branch")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("gap-fill densifies c_gappy to a full minute grid") {
     import spark.implicits._
     val transcripts = spark.createDataset(TranscriptGen.fixtureConversations(42L))
