@@ -9,6 +9,23 @@ import graft.kernels.{Hierarchical, MpDist}
   */
 object PairwiseDist {
 
+  /** Hard ceiling on series count for the driver-side clustering path:
+    * `condensed` collects M(M-1)/2 doubles and broadcasts all M series,
+    * mirroring the reference's in-memory assumption
+    * (hierarchical_clustering.py:18-146). 4096 series = ~8.4M condensed
+    * entries (67 MB) — far below driver memory, far above any sane use of
+    * single-linkage output. Beyond it, fail fast with guidance instead of
+    * silently OOMing the driver.
+    */
+  val MaxDriverSeries = 4096
+
+  private def requireDriverSized(m: Int): Unit =
+    require(m <= MaxDriverSeries,
+      s"hierarchical clustering collects an M(M-1)/2 condensed matrix on the driver; " +
+        s"M=$m exceeds MaxDriverSeries=$MaxDriverSeries. Cluster a sample or " +
+        "pre-aggregate series (the reference's hierarchical_clustering has the " +
+        "same driver-memory bound).")
+
   /** Condensed distance matrix entries as (i, j, dist), i < j. For M small
     * enough to broadcast (the reference holds all M series in memory), the
     * series list is broadcast once and pair indices are the distributed
@@ -31,6 +48,7 @@ object PairwiseDist {
   def condensed(spark: SparkSession, series: Array[Array[Double]], w: Int,
       threshold: Double = 0.05): Array[Double] = {
     val m = series.length
+    requireDriverSized(m)
     val y = new Array[Double](m * (m - 1) / 2)
     pairwiseDist(spark, series, w, threshold).collect().foreach { case (i, j, d) =>
       y(m * i - (i * (i + 1)) / 2 + (j - i - 1)) = d

@@ -18,6 +18,40 @@ import graft.ops.ColSyntax._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
+  /** Default LSH bucket-size cap: a degenerate bucket (e.g. millions of
+    * exact duplicates sharing every band) makes the candidate equi-join
+    * quadratic inside one reducer. Buckets above the cap are DROPPED from
+    * candidate generation — with an eagerly-logged count, never silently —
+    * because pairs inside a mass-duplicate bucket are exactly what
+    * `exact`-first staging (see [[pipeline]]) already removes.
+    */
+  val DefaultMaxBucket = 1000
+
+  /** Drop (band-)buckets larger than `maxBucket` from candidate
+    * generation. The oversized-key set is tiny (it only exists under mass
+    * duplication), so it broadcasts into a left-anti join — the big banded
+    * side is never shuffled for the cap. The count of dropped buckets is
+    * computed eagerly and logged: no silent caps, and the action warms the
+    * persisted signature stage the banding derives from.
+    */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
+      maxBucket: Int, what: String): DataFrame = {
+    if (maxBucket <= 0) return banded // explicit opt-out: uncapped
+    val over = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bsize"))
+      .where($"bsize" > maxBucket)
+      .select(keyCols.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nOver = over.count()
+    if (nOver > 0)
+      log.warn(s"$what: dropping $nOver bucket(s) over $maxBucket members " +
+        "from candidate generation (mass-duplicate skew guard; run " +
+        "Dedup.exact / Dedup.pipeline first to collapse exact duplicates)")
+    banded.join(broadcast(over), keyCols, "left_anti")
+  }
+
   /** Exact dedup: md5 of the raw text. Returns (doc_id, content_hash,
     * group_size, keep) where keep marks the minimum doc_id per group.
     */
@@ -111,7 +145,8 @@ object Dedup {
     * jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct shingle texts.
     */
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      numHashes: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 16, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rows = numHashes / bands
     // the md5-heavy signature stage fans out to three consumers (banding +
     // both verify sides) with different downstream partitionings — persist
@@ -121,10 +156,12 @@ object Dedup {
       docs.withColumnRenamed(idCol, "doc_id"), textCol, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigs.select($"id",
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws("|", slice($"minhash", b * rows + 1, lit(rows)))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = capBuckets(
+      sigs.select($"id",
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => md5(concat_ws("|", slice($"minhash", b * rows + 1, lit(rows)))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucket, "minhashLsh")
 
     // id-only payload through the band exchange
     val l = banded.select($"band", $"bucket", $"id".as("id_a"))
@@ -143,6 +180,36 @@ object Dedup {
       .where($"jaccard" >= threshold)
       .select($"id_a", $"id_b",
         floor($"jaccard" * 10000.0).cast("long").as("jaccard_e4"))
+  }
+
+  /** Standard dedup staging for a 100 TB corpus: EXACT dedup first (one
+    * cheap hash shuffle collapses mass duplicates to a representative),
+    * then MinHash-LSH only over the exact-unique survivors — so a million
+    * identical documents cost one signature, not a degenerate LSH bucket.
+    *
+    * Returns one row per duplicate relation:
+    *   (id_a, id_b, kind, jaccard_e4) with kind ∈ {'exact','near'};
+    * exact rows link each non-representative to its group's min id
+    * (jaccard_e4 = 10000), near rows are LSH-verified pairs between
+    * representatives.
+    */
+  def pipeline(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 16, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val ex = exact(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val exactPairs = ex
+      // group min over ALL rows (the representative is the min id itself),
+      // then keep only the non-representatives as the duplicate side
+      .withColumn("id_a", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"content_hash")))
+      .where(!$"keep")
+      .select($"id_a", col(idCol).as("id_b"), lit("exact").as("kind"),
+        lit(10000L).as("jaccard_e4"))
+    val reps = docs.join(ex.where($"keep").select(col(idCol)), Seq(idCol))
+    val nearPairs = minhashLsh(reps, idCol, textCol, numHashes, bands,
+      threshold, maxBucket)
+      .select($"id_a", $"id_b", lit("near").as("kind"), $"jaccard_e4")
+    exactPairs.union(nearPairs)
   }
 
   /** SimHash: 64-bit signature as a '1'/'0' string — bit b votes +1/-1 per
@@ -188,7 +255,8 @@ object Dedup {
     * Hamming scan.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = maxHamming + 1
     val base = 64 / bands
     val extra = 64 % bands
@@ -200,11 +268,13 @@ object Dedup {
 
     // 3 consumers (banding + both verify sides): hash once, reuse cached
     val sig = simhash(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select($"id",
-      posexplode(array(ranges.map { case (off, len) =>
-        substring($"simhash", off + 1, len)
-      }: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = capBuckets(
+      sig.select($"id",
+        posexplode(array(ranges.map { case (off, len) =>
+          substring($"simhash", off + 1, len)
+        }: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucket, "simhashPairs")
 
     val l = banded.select($"band", $"bucket", $"id".as("id_a"))
     val r = banded.select($"band", $"bucket", $"id".as("id_b"))
@@ -229,15 +299,18 @@ object Dedup {
     */
   def embeddingDups(embeds: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.9,
-      planes: Int = 12, tables: Int = 4): DataFrame = {
+      planes: Int = 12, tables: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // vectors are consumed by key generation AND both verify sides: cache
     // the projected scan once; the hyperplane-fold key stage is cached as
     // an id+bkey projection so its (tables x planes x dim) folds run once
     val vecs = embeds.select(col(idCol), col(vecCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val keys = Similarity.withBucketKeys(vecs, idCol, vecCol, planes, tables, seed = 7)
-      .select($"bkey", col(idCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keys = capBuckets(
+      Similarity.withBucketKeys(vecs, idCol, vecCol, planes, tables, seed = 7)
+        .select($"bkey", col(idCol))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      Seq("bkey"), maxBucket, "embeddingDups")
     val l = keys.select($"bkey", col(idCol).as("id_a"))
     val r = keys.select($"bkey", col(idCol).as("id_b"))
     val candidates = l.join(r, Seq("bkey"))

@@ -107,6 +107,40 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"planted near-dup recall $recall < 0.8 (found ${found.size} pairs)")
   }
 
+  test("exact-first pipeline + bucket caps survive a mass-duplicate corpus") {
+    import spark.implicits._
+    val base = docs()
+    val dupText = (0 until 30).map(i => s"dd$i").mkString(" ")
+    val mass = spark.range(10000)
+      .select(($"id" + 5000L).as("doc_id"), lit(dupText).as("text"))
+    val corpus = base.unionByName(mass)
+
+    // pipeline: the exact stage collapses the 10k clones to one
+    // representative, so the LSH stage never sees a degenerate bucket
+    val pairs = Dedup.pipeline(corpus, threshold = 0.3).persist()
+    val exactPairs = pairs.where($"kind" === "exact")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(exactPairs.length == 9999)
+    assert(exactPairs.forall(_._1 == 5000L),
+      "every clone must link to the group-min representative")
+    // near-dup recall on the non-degenerate docs is unchanged vs direct LSH
+    val near = pairs.where($"kind" === "near" && $"id_a" < 5000L && $"id_b" < 5000L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val direct = Dedup.minhashLsh(base, threshold = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(near == direct, "pipeline near-dup pairs must match direct LSH on the clean corpus")
+    pairs.unpersist()
+
+    // direct LSH on the degenerate corpus: the clone buckets exceed the cap
+    // and are dropped (logged, never silent), the candidate join never goes
+    // quadratic in one reducer, and pairs among normal docs are unaffected
+    val capped = Dedup.minhashLsh(corpus, threshold = 0.3, maxBucket = 100)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b) => a >= 5000L || b >= 5000L },
+      "capped LSH must drop the mass-duplicate buckets")
+    assert(capped == direct, "cap must not change pairs among non-degenerate docs")
+  }
+
   test("ANN LSH top-k recall vs brute force on planted cluster structure") {
     import spark.implicits._
     val dim = 64

@@ -178,6 +178,16 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("driver-side clustering fails fast beyond MaxDriverSeries (clean " +
+      "error, not an OOM)") {
+    val tooMany = Array.fill(graft.dist.PairwiseDist.MaxDriverSeries + 1)(
+      Array(1.0, 2.0, 3.0, 4.0))
+    val e = intercept[IllegalArgumentException] {
+      graft.dist.PairwiseDist.condensed(spark, tooMany, 2)
+    }
+    assert(e.getMessage.contains("MaxDriverSeries"))
+  }
+
   test("gap-fill densifies c_gappy to a full minute grid") {
     import spark.implicits._
     val transcripts = spark.createDataset(TranscriptGen.fixtureConversations(42L))
