@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   /** Transcript-corpus benchmark: returns (points, rolledRows, subseqs,
-    * rollupSec, mpSec).
+    * rollupSec, genericSec, mpSec). Both rollup layouts are timed: the
+    * fused colocated zero-shuffle plan (the 100 TB scale plan — an Iceberg
+    * bucket(conv_id) table read with storage-partitioned scans) is the
+    * headline, and the generic shuffle chain (what a non-bucketed layout
+    * pays) is reported alongside for the plan-choice evidence.
     */
   def pipelineBench(spark: SparkSession, numConvs: Int,
-      turnsScale: Int = 1): (Long, Long, Long, Double, Double) = {
+      turnsScale: Int = 1,
+      withGeneric: Boolean = true): (Long, Long, Long, Double, Double, Double) = {
     import spark.implicits._
     import graft.ingest.TranscriptGen
     import graft.rollup.Rollup
@@ -33,44 +38,38 @@ object Bench {
       turnsScale = turnsScale).cache()
     val nPoints = points.count()
 
-    // generator output is conv-bucketed (one conversation per partition),
-    // matching an Iceberg bucket(conv_id) table read with storage-
-    // partitioned scans → the zero-shuffle tier plan applies; set
-    // SPARK_GRAFT_BENCH_GENERIC=1 to measure the generic-layout plan
-    val colocated = !sys.env.contains("SPARK_GRAFT_BENCH_GENERIC")
+    // headline leg: generator output is conv-bucketed (one conversation
+    // per partition) → fused single-scan plan, one pass emits all tiers
     var t0 = System.nanoTime()
-    var rolled = 0L
-    var cached: org.apache.spark.sql.Dataset[_] = null
-    val m1 =
-      if (colocated) {
-        // fused single-scan plan: one pass emits all three tiers
-        val all = Rollup.rollupAllColocated(points).cache()
-        cached = all
-        rolled = all.count()
-        all.where($"tier" === "1m").as[graft.schema.TierAgg]
-      } else {
-        val m = Rollup.rollupRaw(points, "1m").cache()
-        cached = m
-        val h = Rollup.rollupTier(m, "1h").cache()
-        rolled = m.count() + h.count() + Rollup.rollupTier(h, "1d").count()
-        h.unpersist()
-        m
-      }
+    val all = Rollup.rollupAllColocated(points).cache()
+    val rolled = all.count()
     val rollupSec = (System.nanoTime() - t0) / 1e9
+    val m1 = all.where($"tier" === "1m").as[graft.schema.TierAgg]
+
+    // comparison leg: generic chained shuffle plan on the same input
+    val genericSec = if (!withGeneric) Double.NaN else {
+      t0 = System.nanoTime()
+      val gm = Rollup.rollupRaw(points, "1m").cache()
+      val gh = Rollup.rollupTier(gm, "1h").cache()
+      val genRolled = gm.count() + gh.count() + Rollup.rollupTier(gh, "1d").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(genRolled == rolled, s"plan mismatch: $genRolled vs $rolled rows")
+      gh.unpersist(); gm.unpersist()
+      sec
+    }
 
     t0 = System.nanoTime()
     val tierPts = Rollup.tierSeries(m1)
-    val series = (if (colocated) graft.series.Derive.assembleColocated(tierPts)
-                  else graft.series.Derive.assemble(tierPts))
+    val series = graft.series.Derive.assembleColocated(tierPts)
       .map { case (c, k, s, v) => SeriesRow(c, k, s, v) }
     val profiles = DistributedMp.mpxProfiles(series, 16, "1m").cache()
     val nSubseq = profiles.select(sum(size($"mp"))).as[Long].first()
     val mpSec = (System.nanoTime() - t0) / 1e9
 
     points.unpersist()
-    if (cached != null) cached.unpersist()
+    all.unpersist()
     profiles.unpersist()
-    (nPoints, rolled, nSubseq, rollupSec, mpSec)
+    (nPoints, rolled, nSubseq, rollupSec, genericSec, mpSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -114,15 +113,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    val (nPoints, rolled, nSubseq, rollupSec, mpSec) =
+    val (nPoints, rolled, nSubseq, rollupSec, genericSec, mpSec) =
       pipelineBench(spark, benchConvs, turnsScale)
     val pointsPerSec = nPoints / rollupSec
+    val pointsPerSecGeneric = nPoints / genericSec
     val subseqPerSec = nSubseq / mpSec
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""sf":"$sfDir","cpus":$cpus,"bench_convs":$benchConvs,""" +
       f""""rollup_points":$nPoints,"rolled_rows":$rolled,"rollup_sec":$rollupSec%.3f,""" +
       f""""points_per_sec":$pointsPerSec%.0f,""" +
+      f""""rollup_generic_sec":$genericSec%.3f,""" +
+      f""""points_per_sec_generic":$pointsPerSecGeneric%.0f,""" +
       f""""mp_subsequences":$nSubseq,"mp_sec":$mpSec%.3f,""" +
       f""""subseq_per_sec":$subseqPerSec%.0f}""")
     spark.stop()

@@ -188,6 +188,12 @@ object SparkEntry {
     "q24_ann_lsh_recall" -> ((s, dir) => {
       import s.implicits._
       val e = embeddings(s, dir).select($"vec_id", $"embedding")
+      // the oracle hardcodes dim=64 hyperplanes; if the data width ever
+      // changes the two engines would bucket differently with no hint —
+      // fail loudly at plan build instead
+      val dim = Similarity.vecDim(e, "embedding")
+      require(dim == 64, s"OracleSqlGen.q24 generates dim=64 hyperplanes but " +
+        s"embeddings have dim=$dim — regenerate the oracle with q24(dim = $dim)")
       val q = e.where($"vec_id" < 20)
       val brute = Similarity.bruteForceTopK(e, q, 10)
         .select($"query_id", $"neighbor_id")
@@ -207,6 +213,9 @@ object SparkEntry {
       // vectors (one component +0.25f) — the recall path then has real
       // work, and the oracle replants identically
       val base = embeddings(s, dir).select($"vec_id", $"embedding")
+      val dim = Similarity.vecDim(base, "embedding")
+      require(dim == 64, s"OracleSqlGen.q25 generates dim=64 hyperplanes but " +
+        s"embeddings have dim=$dim — regenerate the oracle with q25(dim = $dim)")
       val planted = base.where($"vec_id" < 20)
         .select(($"vec_id" + 1000000L).as("vec_id"),
           transform($"embedding",

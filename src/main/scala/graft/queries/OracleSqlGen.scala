@@ -38,7 +38,13 @@ object OracleSqlGen {
     */
   def selfMpCtes(w: Int, sfx: String = ""): String = {
     val minlag = math.ceil(w / 4.0).toInt
-    s"""ws$sfx AS (
+    // same per-user length bound as the Spark side (MpQueries.minN): a
+    // series with n in [w+minlag+1, minN) has >=1 admissible pair, so the
+    // mp CTE would emit rows Spark omits — filter eligibility in dg so both
+    // engines share the row set regardless of data
+    val minN = MpQueries.minN(w)
+    s"""el$sfx AS (SELECT user_id FROM pts GROUP BY 1 HAVING count(*) >= $minN),
+ws$sfx AS (
   SELECT user_id, idx AS i,
          sum(vi) OVER fw$sfx::BIGINT AS s1,
          sum(vi * vi) OVER fw$sfx::BIGINT AS s2,
@@ -48,7 +54,8 @@ object OracleSqlGen {
   QUALIFY wn = $w),
 dg$sfx AS (
   SELECT a.user_id, a.idx AS t, b.idx - a.idx AS d, a.vi * b.vi AS pr
-  FROM pts a JOIN pts b ON a.user_id = b.user_id AND b.idx > a.idx + $minlag),
+  FROM pts a JOIN pts b ON a.user_id = b.user_id AND b.idx > a.idx + $minlag
+  JOIN el$sfx e ON a.user_id = e.user_id),
 dots$sfx AS (
   SELECT user_id, d, t AS i,
          sum(pr) OVER dw$sfx::BIGINT AS dot,

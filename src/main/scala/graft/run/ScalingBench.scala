@@ -48,10 +48,11 @@ object ScalingBench {
     for (round <- 1 to rounds; cpus <- Seq(lo, hi)) {
       val spark = session(cpus)
       val ld = load1
-      val r = graft.Bench.pipelineBench(spark, convs, turnsScale)
-      trials += Trial(cpus, round, ld, r._4, r._5, r._1, r._3)
+      // scaling trials time the headline colocated plan only
+      val r = graft.Bench.pipelineBench(spark, convs, turnsScale, withGeneric = false)
+      trials += Trial(cpus, round, ld, r._4, r._6, r._1, r._3)
       System.err.println(f"[scaling] round=$round cpus=$cpus load=$ld%.1f " +
-        f"rollup=${r._4}%.2fs mp=${r._5}%.2fs")
+        f"rollup=${r._4}%.2fs mp=${r._6}%.2fs")
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
