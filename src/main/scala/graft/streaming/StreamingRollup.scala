@@ -18,6 +18,8 @@ import graft.schema.Transcript
   */
 object StreamingRollup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamingRollup")
+
   /** Per-minute continuous aggregate over a streaming transcript source. */
   def minuteTier(stream: Dataset[Transcript], lateness: String = "10 minutes"): DataFrame = {
     import stream.sparkSession.implicits._
@@ -34,9 +36,13 @@ object StreamingRollup {
   }
 
   /** Per-conversation retained series for the stateful streaming path:
-    * `offset` keeps window positions stable across retention trims.
+    * `offset` keeps window positions stable across retention trims;
+    * `maxTsMillis` is the event time of the newest accepted point (the
+    * in-order high-water mark) and `dropped` counts cross-batch late
+    * arrivals rejected against it.
     */
-  final case class SeriesState(offset: Long, values: Array[Double])
+  final case class SeriesState(offset: Long, values: Array[Double],
+      maxTsMillis: Long = Long.MinValue, dropped: Long = 0L)
 
   final case class PointIn(conv_id: String, ts: java.sql.Timestamp, value: Double)
 
@@ -81,12 +87,16 @@ object StreamingRollup {
     * aggregation covers the tiers; nearest-neighbor novelty needs
     * KeyValueGroupedDataset state.
     *
-    * Ordering contract: points are sorted WITHIN a micro-batch, but a
-    * point arriving in a later batch with an earlier event time appends
-    * out of order (there is no watermark here — novelty scores are
-    * position-indexed and already emitted). Feed this operator from a
-    * watermarked upstream (e.g. the 1m tier) or an in-order source; late
-    * stragglers are reconciled by the batch backfill, like minuteTier's.
+    * Ordering contract (ENFORCED): points are sorted within a micro-batch,
+    * and the state carries the event-time high-water mark of the newest
+    * accepted point — a point arriving in a later batch with an older
+    * event time is DROPPED (counted in state + logged), because novelty
+    * scores are position-indexed and already emitted; silently appending
+    * it would corrupt every subsequent window. Equal-time arrivals are
+    * accepted (sub-timestamp ties are in-order by arrival). Feed this
+    * operator from a watermarked upstream (e.g. the 1m tier) or an
+    * in-order source; dropped stragglers are reconciled by the batch
+    * backfill, like minuteTier's.
     */
   def streamingLeftProfile(stream: Dataset[PointIn], w: Int,
       maxHistory: Int = 1 << 14): Dataset[LeftProfileScore] = {
@@ -97,13 +107,21 @@ object StreamingRollup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (conv: String, it: Iterator[PointIn], state: GroupState[SeriesState]) =>
           val prior = state.getOption.getOrElse(SeriesState(0L, Array.empty))
-          val incoming = it.toArray.sortBy(_.ts.getTime).map(_.value)
+          val (accepted, late) = it.toArray.sortBy(_.ts.getTime)
+            .partition(_.ts.getTime >= prior.maxTsMillis)
+          if (late.nonEmpty)
+            log.warn(s"streamingLeftProfile[$conv]: dropped ${late.length} " +
+              s"cross-batch late point(s) older than the accepted high-water " +
+              s"mark (total dropped ${prior.dropped + late.length})")
+          val incoming = accepted.map(_.value)
+          val newMax =
+            if (accepted.nonEmpty) accepted.last.ts.getTime else prior.maxTsMillis
           val all = prior.values ++ incoming
           val (kept, offset) =
             if (all.length > maxHistory)
               (all.takeRight(maxHistory), prior.offset + (all.length - maxHistory))
             else (all, prior.offset)
-          state.update(SeriesState(offset, kept))
+          state.update(SeriesState(offset, kept, newMax, prior.dropped + late.length))
           // windows completed by this batch: those using >= 1 incoming point
           val firstNew = math.max(0, (kept.length - incoming.length) - w + 1)
           leftProfileScores(kept, w, firstNew).iterator

@@ -94,4 +94,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // each window is emitted exactly once (by the batch that completes it)
     assert(streamed.map(_._1).distinct.length == streamed.length)
   }
+
+  test("streaming left profile rejects cross-batch late arrivals: " +
+      "incremental == batch over the accepted in-order stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = 8
+    val vals = (0 until 50).map(i => math.cos(i / 4.0) * 5.0 + (i % 5)).toArray
+    def pt(i: Int) = StreamingRollup.PointIn("c1",
+      new java.sql.Timestamp(1700000000000L + i * 1000L), vals(i))
+
+    val source = MemoryStream[StreamingRollup.PointIn]
+    val scored = StreamingRollup.streamingLeftProfile(source.toDS(), w)
+    val cp = java.nio.file.Files.createTempDirectory("graft_lp_late_cp").toString
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("lp_late_stream").option("checkpointLocation", cp).start()
+    // batch 1: points 0..19; batch 2: SHUFFLED points 25..49 (out of order
+    // within the batch — must be sorted) PLUS stale points 20..24 that are
+    // older than batch 2's own contribution but NEWER than batch 1's max —
+    // in-order relative to state, so accepted after the sort; batch 3:
+    // replays 5..9 (older than the high-water mark — must be dropped)
+    source.addData((0 until 20).map(pt))
+    q.processAllAvailable()
+    val b2 = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle((20 until 50).toList)
+    source.addData(b2.map(pt))
+    q.processAllAvailable()
+    source.addData((5 until 10).map(pt))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("lp_late_stream")
+      .as[StreamingRollup.LeftProfileScore].collect()
+      .map(s => (s.pos, s.dist)).sortBy(_._1)
+    // the accepted stream is exactly vals in order; the stale replay must
+    // contribute nothing (same window set, emitted exactly once)
+    val batch = StreamingRollup.leftProfileScores(vals, w, 0)
+      .filter(!_._2.isInfinite).map { case (i, d) => (i.toLong, d) }
+    assert(streamed.length == batch.length,
+      s"${streamed.length} streamed vs ${batch.length} batch windows " +
+        "(late replay must not append or re-emit)")
+    streamed.zip(batch).foreach { case ((p1, d1), (p2, d2)) =>
+      assert(p1 == p2 && math.abs(d1 - d2) < 1e-9, s"pos $p1/$p2 dist $d1/$d2")
+    }
+    assert(streamed.map(_._1).distinct.length == streamed.length)
+  }
 }
