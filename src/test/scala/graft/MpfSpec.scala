@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.io.Mpf
+import graft.run.ProfileIO
+import graft.schema.MpProfileRow
+
+/** `.mpf` protobuf interop (ref io/protobuf/protobuf_utils.py:156-476,
+  * proto_messages.proto:9-111; port of tests/test_io.py:73-128's MPF
+  * round-trip cases). The fixtures in resources/ref were produced by an
+  * INDEPENDENT pure-Python proto3 encoder (tools/make_mpf_fixture.py)
+  * emitting the same canonical bytes protobuf's serializer writes, so the
+  * decode path is validated cross-implementation, and the Scala writer is
+  * pinned byte-for-byte against them.
+  */
+class MpfSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-mpf-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fixtureBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/ref/$name")
+    require(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("decodes a reference-format MatrixProfile .mpf (every field)") {
+    val o = Mpf.fromBytes(fixtureBytes("fixture_mp.mpf"))
+    assert(o.klass == "MatrixProfile")
+    assert(o.algorithm == "mpx" && o.metric == "euclidean")
+    assert(o.samplePct == 1.0 && o.windows == Seq(8L))
+    val ts = o.ts.get
+    assert(ts.rows == 64 && ts.cols == 0 && ts.data.length == 64)
+    // spot values from the independent encoder's generator
+    assert(ts.data(0) == 3.8813 && ts.data(1) == 8.0323 && ts.data(63) == 7.6603)
+    val m = o.mp.get
+    assert(m.ez == 2 && !m.join)
+    assert(m.mp.get.data.length == 57 && m.mp.get.data(0) == 0.0776 &&
+      m.mp.get.data(56) == 2.5097)
+    assert(m.pi.get.data(0) == 17L && m.pi.get.data(56) == 26L)
+    assert(m.lmp.get.data.length == 57 && m.lpi.get.data.length == 57)
+    assert(m.rmp.isEmpty && m.rpi.isEmpty)
+    assert(o.discords == Seq(Mpf.Location(9, 0), Mpf.Location(41, 0)))
+    assert(o.motifs == Seq(Mpf.Motif(
+      Seq(Mpf.Location(3, 0), Mpf.Location(17, 0)), Seq(Mpf.Location(29, 0)))))
+    assert(o.cmp.get.data.length == 57 && o.av.get.data.length == 57)
+    assert(o.cmp.get.data(0) == 0.0776 + 0.5)
+    assert(o.avType == "complexity")
+
+    val rows = Mpf.toProfileRows(o, "migrated")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.w == 8 && r.ez == 2 && !r.join && r.algorithm == "mpx")
+    assert(r.mp.toSeq == m.mp.get.data.toSeq && r.pi.toSeq == m.pi.get.data.toSeq)
+    assert(r.rmp.isEmpty && r.lmp.length == 57)
+  }
+
+  test("decodes a reference-format PMP .mpf into one row per window") {
+    val o = Mpf.fromBytes(fixtureBytes("fixture_pmp.mpf"))
+    assert(o.klass == "PMP" && o.algorithm == "skimp" && o.metric == "pearson")
+    assert(o.windows == Seq(4L, 6L, 8L))
+    val p = o.pmp.get
+    assert(p.pmp.get.rows == 3 && p.pmp.get.cols == 61)
+    assert(p.pmp.get.data(0) == 3.5151 && p.pmp.get.data(2 * 61) == 2.5813)
+    val rows = Mpf.toProfileRows(o, "pmp_migrated")
+    assert(rows.map(_.w) == Seq(4, 6, 8))
+    assert(rows.forall(_.mp.length == 61))
+    assert(rows(2).mp(0) == 2.5813)
+    assert(rows.forall(_.algorithm == "skimp"))
+  }
+
+  test("Scala writer is byte-identical to the independent encoder (canonical " +
+      "proto3: field order, packed scalars, default-zero omission)") {
+    for (name <- Seq("fixture_mp.mpf", "fixture_pmp.mpf")) {
+      val bytes = fixtureBytes(name)
+      val reencoded = Mpf.toBytes(Mpf.fromBytes(bytes))
+      assert(java.util.Arrays.equals(reencoded, bytes),
+        s"$name: re-encoded bytes differ")
+    }
+  }
+
+  test("unknown fields are skipped (forward compatibility)") {
+    // append an unknown field 19 (varint) and field 20 (length-delimited)
+    val base = fixtureBytes("fixture_mp.mpf")
+    val extra = Array[Byte](
+      ((19 << 3) | 0).toByte, 0x2a, // field 19, varint 42
+      ((20 << 3) | 2).toByte, 3, 1, 2, 3) // field 20, 3 bytes
+    val o = Mpf.fromBytes(base ++ extra)
+    assert(o.klass == "MatrixProfile" && o.mp.get.mp.get.data.length == 57)
+  }
+
+  test("Spark round-trip: engine profiles -> .mpf files -> distributed scan " +
+      "(port of test_io.py to_mpf/from_mpf)") {
+    import spark.implicits._
+    val vals = Fixtures.sampledata.slice(0, 200)
+    val rows = graft.dist.DistributedMp.mpxProfiles(
+      spark.createDataset(Seq(
+        graft.dist.DistributedMp.SeriesRow("conv_a", "v", 0L, vals),
+        graft.dist.DistributedMp.SeriesRow("conv_b", "v", 0L, vals.map(-_)))),
+      16, "raw").collect().sortBy(_.conv_id)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_mpf").toString
+    ProfileIO.writeMpf(spark.createDataset(rows.toSeq), dir)
+    val back = ProfileIO.read(spark, s"$dir/*.mpf").collect().sortBy(_.conv_id)
+    assert(back.length == rows.length)
+    back.zip(rows).foreach { case (b, r) =>
+      assert(b.conv_id == r.conv_id && b.w == r.w && b.ez == r.ez &&
+        b.join == r.join && b.algorithm == r.algorithm && b.metric == r.metric)
+      // doubles survive exactly: fixed64 IEEE bits, not text
+      assert(b.mp.toSeq == r.mp.toSeq && b.pi.toSeq == r.pi.toSeq)
+      assert(b.lmp.toSeq == r.lmp.toSeq && b.rpi.toSeq == r.rpi.toSeq)
+    }
+  }
+}
