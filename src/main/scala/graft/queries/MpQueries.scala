@@ -223,6 +223,30 @@ object MpQueries {
           .otherwise(agreeCol($"bmp", $"kmp")).as("kernel_agree"))
   }
 
+  /** q32: PMP top-3 discords over windows 8/12/16 — TopK.pmpTopKDiscords
+    * IS the operator under test (ref top_k_discords.py:16-91): global
+    * argmax over the 2-D (window-row, position) pan profile with
+    * first-in-row-major-scan tie-break, row-wise [c-zone, c+zone)
+    * suppression, and the zone FIXED by the first pick's window. The
+    * selection runs on the brute PMP (quantized ints) so the oracle
+    * replays every comparison on bit-identical doubles.
+    */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windows = Array(8, 12, 16)
+    quantSeries(s, dir).flatMap { q =>
+      val elig = windows.filter(w => q.vi.length >= minN(w))
+      if (elig.isEmpty) Iterator.empty
+      else {
+        val pmp = elig.map(w => BruteMp.selfProfile(q.vi, w).mp)
+        TopK.pmpTopKDiscords(pmp, elig, None, k = 3)
+          .iterator.zipWithIndex.map { case ((r, c), i) =>
+            (q.user_id, (i + 1).toLong, elig(r).toLong, c.toLong, e4(pmp(r)(c)))
+          }
+      }
+    }.toDF("user_id", "rank", "window", "discord_idx", "discord_mp_e4")
+  }
+
   /** q15: Gorilla XOR chunk round-trip — losslessness plus first/last
     * decoded values (exact integers after quantization).
     */

@@ -195,6 +195,44 @@ SELECT user_id, rank, regime_idx FROM (
 SELECT * FROM (${selects.mkString(" UNION ALL ")})"""
   }
 
+  /** q32: PMP top-3 discords (TopK.pmpTopKDiscords / ref
+    * top_k_discords.py:16-91) — 2-D argmax over the per-window profiles
+    * with row-major first-max tie-break (mp DESC, window ASC, pos ASC),
+    * suppression of [c-zone, c+zone) in the WINNING row only, and the zone
+    * fixed by the FIRST pick's window (the reference's sticky
+    * exclusion_zone). Three chained pick CTEs unroll k=3; a user whose
+    * remaining cells run out simply stops contributing rows, like the
+    * kernel's early exit.
+    */
+  def q32(windows: Seq[Int] = Seq(8, 12, 16)): String = {
+    val ctes = ptsCte +: windows.map(w => selfMpCtes(w, s"_w$w"))
+    val union = windows.map(w =>
+      s"""SELECT user_id, $w AS w, pos, mp FROM mp_w$w""").mkString(" UNION ALL ")
+    def pick(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+  SELECT user_id, w, pos, mp FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY mp DESC, w ASC, pos ASC) AS rn
+    FROM $src) WHERE rn = 1)"""
+    def suppress(name: String, src: String, p: String): String =
+      s"""$name AS (
+  SELECT m.user_id, m.w, m.pos, m.mp
+  FROM $src m JOIN $p ON m.user_id = $p.user_id JOIN z ON m.user_id = z.user_id
+  WHERE NOT (m.w = $p.w AND m.pos >= $p.pos - z.zone AND m.pos < $p.pos + z.zone))"""
+    s"""WITH ${ctes.mkString(",\n")},
+pm0 AS MATERIALIZED ($union),
+${pick("p1", "pm0")},
+z AS MATERIALIZED (SELECT user_id, (w // 2)::BIGINT AS zone FROM p1),
+${suppress("r2", "pm0", "p1")},
+${pick("p2", "r2")},
+${suppress("r3", "r2", "p2")},
+${pick("p3", "r3")}
+SELECT user_id, rank, "window", discord_idx, discord_mp_e4 FROM (
+  SELECT user_id, 1::BIGINT AS rank, w::BIGINT AS "window", pos::BIGINT AS discord_idx,
+         floor(mp * 10000.0)::BIGINT AS discord_mp_e4 FROM p1
+  UNION ALL SELECT user_id, 2, w, pos, floor(mp * 10000.0)::BIGINT FROM p2
+  UNION ALL SELECT user_id, 3, w, pos, floor(mp * 10000.0)::BIGINT FROM p3)"""
+  }
+
   /** q29: complexity annotation vector + corrected profile argmins at w=8
     * (AnnotationVectors.makeComplexityAv / applyAv over the brute mp).
     */
