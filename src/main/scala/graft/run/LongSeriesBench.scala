@@ -14,6 +14,8 @@ import graft.dist.DistributedMp.SeriesRow
   * full-replication design would have shuffled (n * 8B per block task).
   *
   * Usage: runMain graft.run.LongSeriesBench [nPoints] [w] [tileSize] [algo]
+  * algo ∈ mpx | stomp | snip (for snip, the `w` argument is the snippet
+  * size; window = size/2, per the reference's default).
   */
 object LongSeriesBench {
 
@@ -58,6 +60,31 @@ object LongSeriesBench {
       i += 1
     }
     val ds = spark.createDataset(Seq(SeriesRow("big", "v", 0L, values)))
+
+    if (algo == "snip") {
+      val size = w // arg reuse: snippet size
+      val padlen = (size * math.ceil(n.toDouble / size)).toLong
+      val cands = (padlen - size) / size + (if ((padlen - size) % size > 0) 1 else 0)
+      val dvLen = padlen - size + 2
+      val t0 = System.nanoTime()
+      val rows = graft.dist.DistributedSnippets
+        .snippets(ds, size, numSnippets = 2, tileSize = tile)
+        .collect().sortBy(_.rank)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val dvValues = cands * dvLen
+      val tasks = cands * math.ceil(dvLen.toDouble / tile).toLong
+      val oldBytes = n.toLong * 8L * cands // per-candidate full-series fan-out
+      println(f"[long-series] algo=snip n=$n size=$size tile=$tile " +
+        f"cands=$cands dv_values=$dvValues tasks~$tasks")
+      rows.foreach(r => println(
+        f"[long-series] snippet rank=${r.rank} index=${r.index} fraction=${r.fraction}%.4f"))
+      println(f"[long-series] wall=$sec%.1fs dv_values/s=${dvValues / sec}%.3e")
+      println(f"[long-series] shuffle_read=${metrics.read / 1048576.0}%.1f MiB " +
+        f"shuffle_write=${metrics.written / 1048576.0}%.1f MiB " +
+        f"(per-candidate full-series fan-out would ship ${oldBytes / 1048576.0}%.0f MiB)")
+      spark.stop()
+      return
+    }
 
     val plen = n - w + 1
     val minlag = math.ceil(w / 4.0).toInt

@@ -146,6 +146,31 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiled.piB.toSeq == piB.toSeq)
   }
 
+  test("distributed tiled snippets equal the single-task kernel (indices + " +
+      "fractions), tasks carry slices not the series") {
+    import spark.implicits._
+    val size = 64
+    val a = sampledata // 875 points
+    val b = sampledata.map(v => -v + 3.0)
+    val ds = spark.createDataset(Seq(
+      SeriesRow("sa", "v", 0L, a), SeriesRow("sb", "v", 0L, b)))
+    // tileSize 128 forces ~7 tiles per candidate on an 896-point padded
+    // series — the multi-tile path, not the degenerate single-tile one
+    val dist = graft.dist.DistributedSnippets.snippets(ds, size, numSnippets = 2,
+        tileSize = 128)
+      .collect().groupBy(_.conv_id)
+    for ((conv, vals) <- Seq(("sa", a), ("sb", b))) {
+      val expect = graft.kernels.Snippets.snippets(vals, size, 2)
+      val got = dist(conv).sortBy(_.rank)
+      assert(got.length == expect.length)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.index == e.index, s"$conv rank=${g.rank}: ${g.index} vs ${e.index}")
+        assert(math.abs(g.fraction - e.fraction) < 1e-9,
+          s"$conv rank=${g.rank}: ${g.fraction} vs ${e.fraction}")
+      }
+    }
+  }
+
   test("q12/q28 select top-k series inside the plan (agg+limit+broadcast, " +
       "no driver collect of series data)") {
     val dir = "/root/testdata/sf0.001"
