@@ -172,6 +172,9 @@ object SparkEntry {
     "q21_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
 
+    "q33_dedup_pipeline" -> ((s, dir) =>
+      Dedup.pipeline(documents(s, dir), threshold = 0.3)),
+
     "q22_fingerprint" -> ((s, dir) => {
       import s.implicits._
       documents(s, dir).select($"doc_id",
@@ -363,6 +366,7 @@ object SparkEntry {
     "q19_language_id" -> OracleSqlGen.q19,
     "q20_minhash_lsh" -> OracleSqlGen.q20(),
     "q21_simhash_pairs" -> OracleSqlGen.q21(),
+    "q33_dedup_pipeline" -> OracleSqlGen.q33(),
     "q22_fingerprint" -> OracleSqlGen.q22,
     "q24_ann_lsh_recall" -> OracleSqlGen.q24(),
     "q25_embedding_dups" -> OracleSqlGen.q25(),

@@ -551,9 +551,18 @@ SELECT user_id, rank, snippet_idx, fraction_e4 FROM (
     * recall vs brute force is gated separately in DedupRecallSpec.
     */
   def q20(numHashes: Int = 16, bands: Int = 8, shingleK: Int = 3,
-      threshold: Double = 0.3): String = {
+      threshold: Double = 0.3): String =
+    s"""WITH ${minhashLshCtes("documents", numHashes, bands, shingleK, threshold)}
+SELECT id_a, id_b, jaccard_e4 FROM nearp"""
+
+  /** The full MinHash-LSH CTE chain over `source` (doc_id, text), ending
+    * in `nearp(id_a, id_b, jaccard_e4)` — shared by q20 (whole corpus) and
+    * q33 (exact-dedup representatives).
+    */
+  private def minhashLshCtes(source: String, numHashes: Int, bands: Int,
+      shingleK: Int, threshold: Double): String = {
     val rows = numHashes / bands
-    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+    s"""tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM $source),
 sh AS MATERIALIZED (
   SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - ${shingleK - 2}),
          i -> array_to_string(tk[i:i+${shingleK - 1}], ' '))) AS shd
@@ -572,10 +581,28 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 ver AS (
   SELECT c.id_a, c.id_b,
          len(list_intersect(sa.shd, sb.shd)) AS icnt, len(sa.shd) AS na, len(sb.shd) AS nb
-  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
-SELECT id_a, id_b, floor(icnt::DOUBLE / (na + nb - icnt) * 10000.0)::BIGINT AS jaccard_e4
-FROM ver WHERE icnt::DOUBLE / (na + nb - icnt) >= $threshold"""
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b),
+nearp AS (
+  SELECT id_a, id_b, floor(icnt::DOUBLE / (na + nb - icnt) * 10000.0)::BIGINT AS jaccard_e4
+  FROM ver WHERE icnt::DOUBLE / (na + nb - icnt) >= $threshold)"""
   }
+
+  /** q33: the exact-first dedup pipeline (Dedup.pipeline) — exact md5
+    * groups link every non-representative to the group-min id, then the
+    * q20 MinHash-LSH chain runs over the representatives only.
+    */
+  def q33(numHashes: Int = 16, bands: Int = 8, shingleK: Int = 3,
+      threshold: Double = 0.3): String =
+    s"""WITH gm AS MATERIALIZED (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS mid
+  FROM documents),
+reps AS MATERIALIZED (SELECT doc_id, text FROM gm WHERE doc_id = mid),
+${minhashLshCtes("reps", numHashes, bands, shingleK, threshold)}
+SELECT id_a, id_b, kind, jaccard_e4 FROM (
+  SELECT mid AS id_a, doc_id AS id_b, 'exact' AS kind, 10000::BIGINT AS jaccard_e4
+  FROM gm WHERE doc_id <> mid
+  UNION ALL
+  SELECT id_a, id_b, 'near', jaccard_e4 FROM nearp)"""
 
   /** q21: SimHash near-dups — brute-force all-pairs Hamming over the
     * SQL-recomputed md5-bit signatures. Because the Spark side bands with
