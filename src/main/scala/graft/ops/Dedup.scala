@@ -52,6 +52,17 @@ object Dedup {
     banded.join(broadcast(over), keyCols, "left_anti")
   }
 
+  /** Hash-spread an (id, text) projection before a CPU-heavy typed kernel
+    * ONLY when the scan itself is under-parallel (a small corpus arrives
+    * as one file split, serializing the md5 stage onto one core). A
+    * large table already scans with enough splits, and an unconditional
+    * repartition there would shuffle the full text corpus for nothing.
+    */
+  private def spreadForCpu(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want, $"id") else df
+  }
+
   /** Exact dedup: md5 of the raw text. Returns (doc_id, content_hash,
     * group_size, keep) where keep marks the minimum doc_id per group.
     */
@@ -96,11 +107,7 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").as("id"), col(textCol).as("t"))
-      // a small corpus arrives as ONE file split; the md5 stage is the
-      // CPU-heavy part, so spread it across the cluster before hashing
-      // (payload is just (id, text) — a trivial shuffle)
-      .repartition(col("id"))
+    spreadForCpu(docs.select(col("doc_id").as("id"), col(textCol).as("t")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -225,8 +232,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).as("id"), col(textCol).as("t"))
-      .repartition(col("id")) // spread the md5 voting across cores
+    spreadForCpu(docs.select(col(idCol).as("id"), col(textCol).as("t")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
