@@ -80,35 +80,42 @@ object DistributedMp {
     * sequentially per series; here the (series, window) grid IS the
     * parallel axis, and long series additionally split into halo'd 2-D
     * tiles within a window).
+    *
+    * Short series take a ZERO-EXCHANGE path: the whole kernel runs and
+    * finalizes in the scan stage — their profile partials never ride a
+    * shuffle (the repartition + merge exchanges exist to spread TILES of
+    * long series; for a complete partial both were identity work that
+    * serialized ~2·plen doubles per series twice).
     */
   def skimpProfiles(series: Dataset[SeriesRow], windows: Array[Int], tier: String,
       splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[MpProfileRow] = {
     val spark = series.sparkSession
     import spark.implicits._
-
-    // one scan: short series compute their complete partial in place; long
-    // series emit halo'd tile descriptors that are spread across tasks by
-    // the repartition below before the kernel runs
-    val tasks = series.flatMap { s =>
-      windows.iterator.flatMap(w => seriesTasks(s, w, splitThreshold, tileSize))
+    val shortRows = series.flatMap { s =>
+      val n = s.values.length
+      windows.iterator.filter(w => n >= 2 * w && n < splitThreshold)
+        .map(w => wholeProfileRow(s, w, tier))
     }
-    mergeSkimpTasks(tasks, tier)
+    val tiles = series.flatMap { s =>
+      val n = s.values.length
+      windows.iterator.filter(w => n >= 2 * w && n >= splitThreshold)
+        .flatMap(w => mpxTiles(s, w, tileSize))
+    }
+    shortRows.union(mergeSkimpTasks(tiles, tier))
   }
 
-  /** Tasks for one (series, window): a complete in-place partial for a
-    * short series, halo'd tiles for a long one.
+  /** Whole-series mpx kernel + finalize, identical to the merge path's
+    * finish on a single complete partial (clamp is idempotent).
     */
-  private def seriesTasks(s: SeriesRow, w: Int, splitThreshold: Int,
-      tileSize: Int): Iterator[MpxTile] = {
-    val n = s.values.length
-    if (n < 2 * w) Iterator.empty
-    else if (n < splitThreshold) {
-      val st = Mpx.selfStats(s.values, w)
-      val buf = Mpx.newBuf(st.profileLen)
-      Mpx.selfJoinBlock(s.values, w, st, st.minlag + 1, st.profileLen, buf)
-      Iterator(MpxTile(s.conv_id, s.kind, w, 0, 0, 0, 0, st.profileLen,
-        Array.empty, Some(MpxPartialAt(0, st.profileLen, buf.mp, buf.mpi))))
-    } else mpxTiles(s, w, tileSize)
+  private def wholeProfileRow(s: SeriesRow, w: Int, tier: String): MpProfileRow = {
+    val st = Mpx.selfStats(s.values, w)
+    val buf = Mpx.newBuf(st.profileLen)
+    Mpx.selfJoinBlock(s.values, w, st, st.minlag + 1, st.profileLen, buf)
+    Mpx.clampBuf(buf)
+    MpProfileRow(s.conv_id, s.kind, tier, w, math.ceil(w / 4.0).toInt,
+      "mpx", "euclidean", join = false,
+      Mpx.selfToEuclidean(buf, w), buf.mpi,
+      Array.empty, Array.empty, Array.empty, Array.empty)
   }
 
   /** Spread tiles across tasks, run the tile kernel, tree-merge segments,
@@ -163,17 +170,26 @@ object DistributedMp {
     val have = prior.filter(p => windows.contains(p.w))
     val haveSets = have.groupBy($"conv_id".as("c"), $"kind".as("k"))
       .agg(org.apache.spark.sql.functions.collect_set($"w").as("haveW"))
-    val tasks = series.joinWith(org.apache.spark.sql.functions.broadcast(haveSets),
+    val todo = series.joinWith(org.apache.spark.sql.functions.broadcast(haveSets),
         series("conv_id") === haveSets("c") && series("kind") === haveSets("k"),
         "left_outer")
-      .flatMap { case (s, row) =>
+      .map { case (s, row) =>
         val done: Set[Int] =
           if (row == null) Set.empty
           else row.getAs[scala.collection.Seq[Int]]("haveW").toSet
-        windows.iterator.filterNot(done.contains)
-          .flatMap(w => seriesTasks(s, w, splitThreshold, tileSize))
+        (s, windows.filterNot(done.contains))
       }
-    have.union(mergeSkimpTasks(tasks, tier))
+    val shortRows = todo.flatMap { case (s, ws) =>
+      val n = s.values.length
+      ws.iterator.filter(w => n >= 2 * w && n < splitThreshold)
+        .map(w => wholeProfileRow(s, w, tier))
+    }
+    val tiles = todo.flatMap { case (s, ws) =>
+      val n = s.values.length
+      ws.iterator.filter(w => n >= 2 * w && n >= splitThreshold)
+        .flatMap(w => mpxTiles(s, w, tileSize))
+    }
+    have.union(shortRows).union(mergeSkimpTasks(tiles, tier))
   }
 
   /** One AB-join input pair. */
@@ -206,22 +222,33 @@ object DistributedMp {
     val spark = pairs.sparkSession
     import spark.implicits._
 
-    val tasks = pairs.flatMap { p =>
+    // zero-exchange short path: both sweeps + finalize in the scan stage
+    val shortRows = pairs.flatMap { p =>
       val plenA = p.a.length - w + 1
       val plenB = p.b.length - w + 1
-      if (plenA < 1 || plenB < 1) Iterator.empty
-      else if (math.max(p.a.length, p.b.length) < splitThreshold) {
+      if (plenA < 1 || plenB < 1 ||
+          math.max(p.a.length, p.b.length) >= splitThreshold) Iterator.empty
+      else {
         val sa = Mpx.abStats(p.a, w)
         val sb = Mpx.abStats(p.b, w)
         val bufA = Mpx.newBuf(plenA)
         val bufB = Mpx.newBuf(plenB)
         Mpx.abJoinBlock(p.a, p.b, w, sa, sb, 0, plenA, bufA, bufB)
         Mpx.abJoinBlock(p.b, p.a, w, sb, sa, 0, plenB, bufB, bufA)
-        Iterator(AbTile(p.conv_a, p.conv_b, 0, 0, 0, 0, 0, plenA, plenB,
-          Array.empty, Array.empty,
-          Some(MpxPartialAt(0, plenA, bufA.mp, bufA.mpi)),
-          Some(MpxPartialAt(0, plenB, bufB.mp, bufB.mpi))))
-      } else {
+        Mpx.clampBuf(bufA)
+        Mpx.clampBuf(bufB)
+        Iterator(AbJoinRow(p.conv_a, p.conv_b, w,
+          Mpx.abToEuclidean(bufA, w), bufA.mpi,
+          Mpx.abToEuclidean(bufB, w), bufB.mpi))
+      }
+    }
+
+    val tasks = pairs.flatMap { p =>
+      val plenA = p.a.length - w + 1
+      val plenB = p.b.length - w + 1
+      if (plenA < 1 || plenB < 1 ||
+          math.max(p.a.length, p.b.length) < splitThreshold) Iterator.empty
+      else {
         val bTiles = math.ceil(plenB.toDouble / tileSize).toInt
         val dMin = -(plenB - 1)
         val dCount = plenA - 1 - dMin + 1
@@ -265,7 +292,7 @@ object DistributedMp {
       }
 
     val mergeAgg = new ProfileMerge.MpxMaxMergeAt().toColumn
-    partials
+    shortRows.union(partials
       .groupByKey { case (ca, cb, side, _) => (ca, cb, side) }
       .mapValues { case (_, _, _, p) => p }
       .agg(mergeAgg)
@@ -282,7 +309,7 @@ object DistributedMp {
           else { mpB = Mpx.abToEuclidean(buf, w); piB = buf.mpi }
         }
         AbJoinRow(ca, cb, w, mpA, piA, mpB, piB)
-      }
+      })
   }
 
   /** A halo'd STOMP tile: row slice [rLo, rHi-1+w), col slice
@@ -303,15 +330,21 @@ object DistributedMp {
     import spark.implicits._
     val ez = math.ceil(w / 2.0).toInt
 
+    // zero-exchange short path: whole kernel + finalize in the scan stage
+    val shortRows = series.flatMap { s =>
+      val n = s.values.length
+      if (n < 2 * w || n >= splitThreshold) Iterator.empty
+      else {
+        val r = Stomp.stomp(s.values, w)
+        Iterator(MpProfileRow(s.conv_id, s.kind, tier, w, ez, "stomp",
+          "euclidean", join = false, r.mp, r.pi, r.lmp, r.lpi, r.rmp, r.rpi))
+      }
+    }
+
     val tasks = series.flatMap { s =>
       val n = s.values.length
-      if (n < 2 * w) Iterator.empty
-      else if (n < splitThreshold) {
-        val r = Stomp.stomp(s.values, w)
-        Iterator(StompTile(s.conv_id, s.kind, 0, 0, 0, 0, r.mp.length,
-          Array.empty, Array.empty,
-          Some(StompPartialAt(0, r.mp.length, r.mp, r.pi, r.lmp, r.lpi, r.rmp, r.rpi))))
-      } else {
+      if (n < splitThreshold) Iterator.empty
+      else {
         val plen = n - w + 1
         val b = tileSize
         val tiles = math.ceil(plen.toDouble / b).toInt
@@ -341,13 +374,13 @@ object DistributedMp {
       }
 
     val mergeAgg = new ProfileMerge.StompMinMergeAt().toColumn
-    partials
+    shortRows.union(partials
       .groupByKey { case (conv, kind, _) => (conv, kind) }
       .mapValues { case (_, _, p) => p }
       .agg(mergeAgg)
       .map { case ((conv, kind), r) =>
         MpProfileRow(conv, kind, tier, w, ez, "stomp", "euclidean", join = false,
           r.mp, r.pi, r.lmp, r.lpi, r.rmp, r.rpi)
-      }
+      })
   }
 }
