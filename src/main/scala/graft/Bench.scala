@@ -60,14 +60,19 @@ object Bench {
 
     t0 = System.nanoTime()
     val tierPts = Rollup.tierSeries(m1)
+    // cache the assembled series: the distributed MP entry scans its input
+    // twice (zero-exchange short branch + tile branch), and re-assembling
+    // per branch would double the upstream pass
     val series = graft.series.Derive.assembleColocated(tierPts)
       .map { case (c, k, s, v) => SeriesRow(c, k, s, v) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profiles = DistributedMp.mpxProfiles(series, 16, "1m").cache()
     val nSubseq = profiles.select(sum(size($"mp"))).as[Long].first()
     val mpSec = (System.nanoTime() - t0) / 1e9
 
     points.unpersist()
     all.unpersist()
+    series.unpersist()
     profiles.unpersist()
     (nPoints, rolled, nSubseq, rollupSec, genericSec, mpSec)
   }

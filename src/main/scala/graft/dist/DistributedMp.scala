@@ -85,7 +85,10 @@ object DistributedMp {
     * finalizes in the scan stage — their profile partials never ride a
     * shuffle (the repartition + merge exchanges exist to spread TILES of
     * long series; for a complete partial both were identity work that
-    * serialized ~2·plen doubles per series twice).
+    * serialized ~2·plen doubles per series twice). The two branches scan
+    * `series` independently — persist the input when its upstream plan is
+    * expensive (a scan of a parquet/Iceberg table is fine; a derived
+    * assembly is worth caching).
     */
   def skimpProfiles(series: Dataset[SeriesRow], windows: Array[Int], tier: String,
       splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[MpProfileRow] = {

@@ -87,17 +87,23 @@ object PipelineMain {
 
     // stage 5: per-tier matrix profiles (mpx with chunk min/max-merge)
     val profilesPath = ledger.stage("profiles") { out =>
+      // cache both assemblies: mpxProfiles scans its input twice (the
+      // zero-exchange short branch and the tile branch)
       val posSeries = Derive.assemble(points.where($"kind".isin("token_len", "gap_s", "turn_rate")))
         .map { case (c, k, s, v) => SeriesRow(c, k, s, v) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tierSeries = Derive.assemble(
           Rollup.tierSeries(spark.read.parquet(s"$tiersPath/m1").as[TierAgg])
             .union(Rollup.tierSeries(spark.read.parquet(s"$tiersPath/h1").as[TierAgg]))
             .union(Rollup.tierSeries(spark.read.parquet(s"$tiersPath/d1").as[TierAgg])))
         .map { case (c, k, s, v) => SeriesRow(c, k, s, v) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val profiles = DistributedMp.mpxProfiles(posSeries, w, "raw")
         .union(DistributedMp.mpxProfiles(tierSeries, w, "tier"))
       profiles.write.mode(SaveMode.Overwrite).parquet(out)
+      posSeries.unpersist()
+      tierSeries.unpersist()
       (0L, spark.read.parquet(out).count())
     }
 
