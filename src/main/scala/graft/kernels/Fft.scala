@@ -11,6 +11,22 @@ import org.jtransforms.fft.DoubleFFT_1D
   */
 object Fft {
 
+  // DoubleFFT_1D construction builds O(n) twiddle/permutation tables —
+  // rebuilt per call it dominates short transforms. One plan per length
+  // per thread (transform state is not shared-safe; ThreadLocal avoids
+  // locking), values produced are identical to a fresh plan's.
+  private val planCache = new ThreadLocal[java.util.HashMap[Integer, DoubleFFT_1D]] {
+    override def initialValue(): java.util.HashMap[Integer, DoubleFFT_1D] =
+      new java.util.HashMap()
+  }
+
+  private def plan(n: Int): DoubleFFT_1D = {
+    val m = planCache.get()
+    var p = m.get(n)
+    if (p == null) { p = new DoubleFFT_1D(n); m.put(n, p) }
+    p
+  }
+
   /** Full complex FFT of a real signal: returns interleaved [re0, im0, re1,
     * im1, ...] of length 2n.
     */
@@ -18,7 +34,7 @@ object Fft {
     val n = a.length
     val buf = new Array[Double](2 * n)
     System.arraycopy(a, 0, buf, 0, n)
-    new DoubleFFT_1D(n).realForwardFull(buf)
+    plan(n).realForwardFull(buf)
     buf
   }
 
@@ -26,7 +42,7 @@ object Fft {
     * np.fft.ifft).
     */
   def ifftComplex(buf: Array[Double]): Unit =
-    new DoubleFFT_1D(buf.length / 2).complexInverse(buf, true)
+    plan(buf.length / 2).complexInverse(buf, true)
 
   /** Element-wise complex multiply of interleaved arrays, result into a new
     * array.

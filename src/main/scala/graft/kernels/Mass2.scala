@@ -12,16 +12,46 @@ object Mass2 {
 
   val DefaultThreshold = 1e-10
 
+  /** Precomputed per-(ts, m) state for repeated MASS queries against the
+    * same series: fft(ts) and the rolling stats are shared across all
+    * queries of length m (MpDist.massDistanceMatrix issues one query per
+    * subsequence — without this, fft(ts) is recomputed per row). Values
+    * are identical to the one-shot path: same transforms, same order.
+    */
+  final class PreparedTs(val ts: Array[Double], val m: Int) {
+    val n: Int = ts.length
+    val x: Array[Double] = Fft.fftReal(ts)
+    val stats: (Array[Double], Array[Double]) = MovingStats.movingAvgStd(ts, m)
+  }
+
+  def prepare(ts: Array[Double], m: Int): PreparedTs = new PreparedTs(ts, m)
+
   /** Complex distance profile as (re, im) arrays. */
   def mass2Complex(ts: Array[Double], query: Array[Double],
+      threshold: Double = DefaultThreshold): (Array[Double], Array[Double]) =
+    mass2PreparedComplex(prepare(ts, query.length), query, threshold)
+
+  /** Real part of the MASS2 profile against a prepared series. */
+  def mass2Prepared(prep: PreparedTs, query: Array[Double],
+      threshold: Double = DefaultThreshold): Array[Double] =
+    mass2PreparedComplex(prep, query, threshold)._1
+
+  def mass2PreparedComplex(prep: PreparedTs, query: Array[Double],
       threshold: Double = DefaultThreshold): (Array[Double], Array[Double]) = {
-    val n = ts.length
+    val n = prep.n
     val m = query.length
+    require(m == prep.m, s"prepared for m=${prep.m}, got query of length $m")
     val meany = MovingStats.mean(query)
     val sigmay = MovingStats.std(query)
-    val (meanx, sigmax) = MovingStats.movingAvgStd(ts, m)
+    val (meanx, sigmax) = prep.stats
 
-    val z = Fft.fftConvolveComplex(ts, query) // interleaved, length 2n
+    // fft(rev(query) ++ 0s) * fft(ts), inverse — fft(ts) from the prep
+    val yt = new Array[Double](n)
+    var qi = 0
+    while (qi < m) { yt(qi) = query(m - 1 - qi); qi += 1 }
+    val y = Fft.fftReal(yt)
+    val z = Fft.complexMult(prep.x, y)
+    Fft.ifftComplex(z)
     val plen = n - m + 1
     val re = new Array[Double](plen)
     val im = new Array[Double](plen)

@@ -30,9 +30,10 @@ object MpDist {
   def massDistanceMatrix(ts: Array[Double], query: Array[Double], w: Int): Array[Array[Double]] = {
     val rows = query.length - w + 1
     val out = new Array[Array[Double]](rows)
+    val prep = Mass2.prepare(ts, w) // fft(ts) + rolling stats shared by all rows
     var i = 0
     while (i < rows) {
-      out(i) = Mass2.mass2(ts, java.util.Arrays.copyOfRange(query, i, i + w))
+      out(i) = Mass2.mass2Prepared(prep, java.util.Arrays.copyOfRange(query, i, i + w))
       i += 1
     }
     out
