@@ -72,17 +72,31 @@ object Derive {
     * broadcast of the big side) → fill. This is the engine's analog of
     * the reference's impute_missing (preprocess.py:140-222), expressed as
     * relational ops instead of an array pass.
+    *
+    * Densification multiplies rows by span/step (a conversation with a
+    * year-long span at 1-minute step materializes ~526k rows): at scale,
+    * bound the span with `maxSteps` — a series wider than the bound is
+    * clamped to its NEWEST `maxSteps` buckets (the retention-horizon
+    * semantics: old gaps are the batch backfill's job, not the grid's).
+    * The default keeps the reference's unbounded behavior.
     */
   def gapFill(points: Dataset[SeriesPoint], stepMicros: Long,
-      fillValue: Option[Double]): Dataset[SeriesPoint] = {
+      fillValue: Option[Double], maxSteps: Long = Long.MaxValue): Dataset[SeriesPoint] = {
     val spark = points.sparkSession
     import spark.implicits._
 
-    val grid = points
+    val bounds0 = points
       .groupBy($"conv_id", $"kind")
       .agg(min($"bucket").as("lo"), max($"bucket").as("hi"))
-      .select($"conv_id", $"kind",
-        explode(sequence($"lo", $"hi", lit(stepMicros))).as("bucket"))
+    // (the unbounded default skips the clamp — stepMicros * maxSteps
+    // would overflow Long)
+    val bounds =
+      if (maxSteps == Long.MaxValue) bounds0
+      else bounds0.select($"conv_id", $"kind",
+        greatest($"lo", $"hi" - lit(stepMicros) * (lit(maxSteps) - 1)).as("lo"),
+        $"hi")
+    val grid = bounds.select($"conv_id", $"kind",
+      explode(sequence($"lo", $"hi", lit(stepMicros))).as("bucket"))
 
     val joined = grid.join(points, Seq("conv_id", "kind", "bucket"), "left")
 

@@ -229,6 +229,24 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filled.where($"value" === 0.0).count() > 0)
   }
 
+  test("gap-fill span guard clamps to the newest maxSteps buckets") {
+    import spark.implicits._
+    val pts = spark.createDataset(Seq(
+      SeriesPoint("c1", "v", 0L, 1.0),                       // ancient point
+      SeriesPoint("c1", "v", 1000L * Rollup.MicrosPerMin, 2.0),
+      SeriesPoint("c1", "v", 1002L * Rollup.MicrosPerMin, 3.0)))
+    val unbounded = Derive.gapFill(pts, Rollup.MicrosPerMin, Some(0.0))
+    assert(unbounded.count() == 1003)
+    val bounded = Derive.gapFill(pts, Rollup.MicrosPerMin, Some(0.0), maxSteps = 10)
+      .orderBy($"bucket").collect()
+    assert(bounded.length == 10, "span must clamp to the newest maxSteps buckets")
+    assert(bounded.head.bucket == 993L * Rollup.MicrosPerMin)
+    assert(bounded.last.bucket == 1002L * Rollup.MicrosPerMin)
+    // observed values inside the window survive; created buckets fill
+    assert(bounded.last.value == 3.0 &&
+      bounded.map(_.value).sum == 5.0)
+  }
+
   test("rollup tiers chain losslessly and salting is invariant") {
     import spark.implicits._
     val transcripts = TranscriptGen.generate(spark, 10)
