@@ -79,6 +79,31 @@ object Core {
     out
   }
 
+  /** Metric inference over a profile array (ref core.py:625-643): the
+    * values are assumed Pearson iff all finite entries lie in [0, 1].
+    * The engine's typed `metric` field makes this unnecessary internally;
+    * it exists for parity when ingesting untyped profiles (e.g. decoded
+    * `.mpf` files whose metric string is absent). An array with no finite
+    * entries has nothing to infer — treated as NOT Pearson (the reference
+    * would throw on the empty masked min).
+    */
+  def isPearsonArray(a: Array[Double]): Boolean = {
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var any = false
+    var i = 0
+    while (i < a.length) {
+      val v = a(i)
+      if (!isNanInf(v)) {
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        any = true
+      }
+      i += 1
+    }
+    any && mn >= 0.0 && mx <= 1.0
+  }
+
   def isNanInf(v: Double): Boolean = v.isNaN || v.isInfinite
 
   /** argmin treating NaN like numpy: NaN wins argmin (numpy propagates NaN).

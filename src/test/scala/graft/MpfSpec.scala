@@ -88,6 +88,20 @@ class MpfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("absent metric string infers via is_pearson_array (core.py:625-643)") {
+    val o = Mpf.fromBytes(fixtureBytes("fixture_mp.mpf"))
+    def withMetricless(mp: Array[Double]): Mpf.MpfOutput = o.copy(metric = "",
+      mp = o.mp.map(m => m.copy(mp = m.mp.map(_.copy(data = mp)))))
+    // euclidean-range values (> 1 present) => euclidean
+    assert(Mpf.toProfileRows(withMetricless(o.mp.get.mp.get.data), "x")
+      .head.metric == "euclidean")
+    // all finite values in [0,1] => pearson
+    assert(Mpf.toProfileRows(withMetricless(Array(0.1, 0.9, Double.NaN)), "x")
+      .head.metric == "pearson")
+    // explicit metric wins over inference
+    assert(Mpf.toProfileRows(o, "x").head.metric == "euclidean")
+  }
+
   test("unknown fields are skipped (forward compatibility)") {
     // append an unknown field 19 (varint) and field 20 (length-delimited)
     val base = fixtureBytes("fixture_mp.mpf")

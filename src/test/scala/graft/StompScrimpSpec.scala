@@ -68,4 +68,18 @@ class StompScrimpSpec extends AnyFunSuite {
     val expectedPi = load("scrimp.mpi.txt").map(v => v.toLong - 1)
     assert(p.pi.toSeq == expectedPi.toSeq)
   }
+
+  test("is_pearson_array metric inference (ref core.py:625-643)") {
+    import graft.kernels.Core
+    val inf = Double.PositiveInfinity
+    assert(Core.isPearsonArray(Array(0.0, 0.3, 1.0, Double.NaN, inf)))
+    assert(!Core.isPearsonArray(Array(0.0, 1.2))) // > 1 => euclidean
+    assert(!Core.isPearsonArray(Array(-0.1, 0.5))) // negative => euclidean
+    assert(!Core.isPearsonArray(Array(Double.NaN, inf))) // nothing to infer
+    // round-trip consistency: pearson values stay inferable, their
+    // euclidean transform (w > 0) does not (sqrt(2w(1-rho)) can exceed 1)
+    val rho = Array(0.0, 0.5, 0.99)
+    assert(Core.isPearsonArray(rho))
+    assert(!Core.isPearsonArray(Core.pearsonToEuclidean(rho, 8)))
+  }
 }
