@@ -163,7 +163,9 @@ object DistributedMp {
     * profiles already present in a prior PMP — only the missing grid
     * cells are computed, then unioned with the prior rows. The have-set
     * is tiny ((conv, kind) -> window set) and broadcasts; the prior
-    * profile rows never reshuffle.
+    * profile rows never reshuffle. Like [[skimpProfiles]], the short and
+    * tile branches each scan the joined input — persist `series` when its
+    * upstream plan is expensive.
     */
   def skimpProfilesReusing(series: Dataset[SeriesRow], windows: Array[Int],
       tier: String, prior: Dataset[MpProfileRow],
@@ -346,7 +348,9 @@ object DistributedMp {
 
     val tasks = series.flatMap { s =>
       val n = s.values.length
-      if (n < splitThreshold) Iterator.empty
+      // same eligibility bar as the short branch: a series below 2w emits
+      // nothing regardless of which side of splitThreshold it falls on
+      if (n < 2 * w || n < splitThreshold) Iterator.empty
       else {
         val plen = n - w + 1
         val b = tileSize

@@ -12,12 +12,20 @@ import org.jtransforms.fft.DoubleFFT_1D
 object Fft {
 
   // DoubleFFT_1D construction builds O(n) twiddle/permutation tables —
-  // rebuilt per call it dominates short transforms. One plan per length
-  // per thread (transform state is not shared-safe; ThreadLocal avoids
-  // locking), values produced are identical to a fresh plan's.
-  private val planCache = new ThreadLocal[java.util.HashMap[Integer, DoubleFFT_1D]] {
-    override def initialValue(): java.util.HashMap[Integer, DoubleFFT_1D] =
-      new java.util.HashMap()
+  // rebuilt per call it dominates short transforms. One small LRU of
+  // plans per thread (transform state is not shared-safe; ThreadLocal
+  // avoids locking): values produced are identical to a fresh plan's,
+  // and the bound keeps a long-lived executor thread that sees many
+  // distinct series lengths from accumulating O(n) tables per length.
+  private val MaxPlansPerThread = 8
+
+  private val planCache = new ThreadLocal[java.util.LinkedHashMap[Integer, DoubleFFT_1D]] {
+    override def initialValue(): java.util.LinkedHashMap[Integer, DoubleFFT_1D] =
+      new java.util.LinkedHashMap[Integer, DoubleFFT_1D](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Integer, DoubleFFT_1D]): Boolean =
+          size() > MaxPlansPerThread
+      }
   }
 
   private def plan(n: Int): DoubleFFT_1D = {

@@ -15,6 +15,12 @@ import graft.ops.ColSyntax._
   * Hashing is md5-based (JDK MessageDigest in the typed kernels) so the
   * driver's DuckDB oracle can replay signatures, banding, and verification
   * byte-for-byte (both engines emit lowercase md5 hex).
+  *
+  * Cache lifecycle: these builders persist their shared stages
+  * (signatures, bucket keys) so multi-consumer plans compute them once.
+  * The handles stay registered until the caller drops them — run
+  * `spark.catalog.clearCache()` between corpus batches in a long-lived
+  * application (the Bench/Verify harnesses do exactly that).
   */
 object Dedup {
 

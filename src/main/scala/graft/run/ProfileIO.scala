@@ -32,31 +32,41 @@ object ProfileIO {
   /** Distributed `.mpf` scan: each file (one profile per file, the
     * reference's layout) is a `binaryFile` row decoded executor-side —
     * a directory of millions of migrated profiles never funnels through
-    * the driver. conv_id is recovered from the file name.
+    * the driver. `path` may be a single file or a directory (as written
+    * by [[writeMpf]] — the exact path you wrote reads back). File names
+    * written by this engine encode (conv, kind, tier, w) and are parsed
+    * back; foreign names fall back to basename-as-conv_id with defaults.
     */
   def readMpf(spark: SparkSession, path: String): Dataset[MpProfileRow] = {
     import spark.implicits._
-    val glob = if (path.endsWith(".mpf")) path else s"$path/*.mpf"
-    spark.read.format("binaryFile").load(glob)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.mpf")
+      .load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        val name = p.substring(p.lastIndexOf('/') + 1).stripSuffix(".mpf")
-        Mpf.toProfileRows(Mpf.fromBytes(bytes), convId = name)
+        val base = p.substring(p.lastIndexOf('/') + 1).stripSuffix(".mpf")
+        base.split("__") match {
+          case Array(conv, kind, tier, _) =>
+            Mpf.toProfileRows(Mpf.fromBytes(bytes), conv, kind, tier)
+          case _ =>
+            Mpf.toProfileRows(Mpf.fromBytes(bytes), convId = base)
+        }
       }
   }
 
   /** Export to the reference's one-profile-per-file `.mpf` layout
-    * (executor-local writes; `dir` must be a shared filesystem path).
+    * (executor-local writes; `dir` must be a shared filesystem path, and
+    * is used VERBATIM as the directory so read(write path) round-trips).
+    * File names carry the full row key — a dataset with several rows per
+    * conversation (kinds, tiers, windows) writes distinct files.
     */
   def writeMpf(profiles: Dataset[MpProfileRow], dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
-      dir.stripSuffix(".mpf")))
-    val target = dir.stripSuffix(".mpf")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     profiles.foreachPartition { (it: Iterator[MpProfileRow]) =>
       it.foreach { r =>
         val o = fromProfileRow(r)
-        Mpf.writeFile(s"$target/${r.conv_id}.mpf", o)
+        Mpf.writeFile(s"$dir/${r.conv_id}__${r.kind}__${r.tier}__w${r.w}.mpf", o)
       }
     }
   }

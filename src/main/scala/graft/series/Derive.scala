@@ -88,10 +88,10 @@ object Derive {
     val bounds0 = points
       .groupBy($"conv_id", $"kind")
       .agg(min($"bucket").as("lo"), max($"bucket").as("hi"))
-    // (the unbounded default skips the clamp — stepMicros * maxSteps
-    // would overflow Long)
+    // any bound whose span in micros would overflow Long is effectively
+    // unbounded — skip the clamp entirely rather than wrap
     val bounds =
-      if (maxSteps == Long.MaxValue) bounds0
+      if (maxSteps >= Long.MaxValue / math.max(stepMicros, 1L)) bounds0
       else bounds0.select($"conv_id", $"kind",
         greatest($"lo", $"hi" - lit(stepMicros) * (lit(maxSteps) - 1)).as("lo"),
         $"hi")

@@ -92,11 +92,15 @@ object StreamingRollup {
     * accepted point — a point arriving in a later batch with an older
     * event time is DROPPED (counted in state + logged), because novelty
     * scores are position-indexed and already emitted; silently appending
-    * it would corrupt every subsequent window. Equal-time arrivals are
-    * accepted (sub-timestamp ties are in-order by arrival). Feed this
+    * it would corrupt every subsequent window. The guard is STRICT: a
+    * cross-batch arrival at exactly the accepted high-water mark is
+    * treated as an at-least-once redelivery and dropped (within a batch,
+    * equal-time points are all accepted in sorted order). Feed this
     * operator from a watermarked upstream (e.g. the 1m tier) or an
     * in-order source; dropped stragglers are reconciled by the batch
-    * backfill, like minuteTier's.
+    * backfill, like minuteTier's. Note the state schema is versioned by
+    * this library — resuming a checkpoint written by an older build that
+    * lacked the high-water fields requires a fresh checkpoint.
     */
   def streamingLeftProfile(stream: Dataset[PointIn], w: Int,
       maxHistory: Int = 1 << 14): Dataset[LeftProfileScore] = {
@@ -108,7 +112,7 @@ object StreamingRollup {
         (conv: String, it: Iterator[PointIn], state: GroupState[SeriesState]) =>
           val prior = state.getOption.getOrElse(SeriesState(0L, Array.empty))
           val (accepted, late) = it.toArray.sortBy(_.ts.getTime)
-            .partition(_.ts.getTime >= prior.maxTsMillis)
+            .partition(_.ts.getTime > prior.maxTsMillis)
           if (late.nonEmpty)
             log.warn(s"streamingLeftProfile[$conv]: dropped ${late.length} " +
               s"cross-batch late point(s) older than the accepted high-water " +

@@ -103,11 +103,13 @@ class MpfSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("unknown fields are skipped (forward compatibility)") {
-    // append an unknown field 19 (varint) and field 20 (length-delimited)
+    // append an unknown field 19 (varint) and field 20 (length-delimited);
+    // tags for fields >= 16 are two-byte varints: (19<<3)|0 = 152 -> 98 01,
+    // (20<<3)|2 = 162 -> a2 01
     val base = fixtureBytes("fixture_mp.mpf")
     val extra = Array[Byte](
-      ((19 << 3) | 0).toByte, 0x2a, // field 19, varint 42
-      ((20 << 3) | 2).toByte, 3, 1, 2, 3) // field 20, 3 bytes
+      0x98.toByte, 0x01, 0x2a, // field 19, varint 42
+      0xA2.toByte, 0x01, 3, 1, 2, 3) // field 20, 3 bytes
     val o = Mpf.fromBytes(base ++ extra)
     assert(o.klass == "MatrixProfile" && o.mp.get.mp.get.data.length == 57)
   }
@@ -116,22 +118,37 @@ class MpfSpec extends AnyFunSuite with BeforeAndAfterAll {
       "(port of test_io.py to_mpf/from_mpf)") {
     import spark.implicits._
     val vals = Fixtures.sampledata.slice(0, 200)
+    // several rows per conversation (two kinds for conv_a) — file names
+    // must carry the full row key, not just conv_id
     val rows = graft.dist.DistributedMp.mpxProfiles(
       spark.createDataset(Seq(
         graft.dist.DistributedMp.SeriesRow("conv_a", "v", 0L, vals),
+        graft.dist.DistributedMp.SeriesRow("conv_a", "gap_s", 0L, vals.map(_ * 2.0 + 1.0)),
         graft.dist.DistributedMp.SeriesRow("conv_b", "v", 0L, vals.map(-_)))),
-      16, "raw").collect().sortBy(_.conv_id)
+      16, "raw").collect().sortBy(r => (r.conv_id, r.kind))
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_mpf").toString
-    ProfileIO.writeMpf(spark.createDataset(rows.toSeq), dir)
-    val back = ProfileIO.read(spark, s"$dir/*.mpf").collect().sortBy(_.conv_id)
-    assert(back.length == rows.length)
+    // write/read through the extension dispatch with the SAME path
+    val dir = java.nio.file.Files.createTempDirectory("graft_mpf").toString + "/profiles.mpf"
+    ProfileIO.write(spark.createDataset(rows.toSeq), dir)
+    val back = ProfileIO.read(spark, dir).collect().sortBy(r => (r.conv_id, r.kind))
+    assert(back.length == rows.length,
+      "every (conv, kind, tier, w) row must survive the file layout")
     back.zip(rows).foreach { case (b, r) =>
-      assert(b.conv_id == r.conv_id && b.w == r.w && b.ez == r.ez &&
+      assert(b.conv_id == r.conv_id && b.kind == r.kind && b.tier == r.tier &&
+        b.w == r.w && b.ez == r.ez &&
         b.join == r.join && b.algorithm == r.algorithm && b.metric == r.metric)
       // doubles survive exactly: fixed64 IEEE bits, not text
       assert(b.mp.toSeq == r.mp.toSeq && b.pi.toSeq == r.pi.toSeq)
       assert(b.lmp.toSeq == r.lmp.toSeq && b.rpi.toSeq == r.rpi.toSeq)
     }
+  }
+
+  test("corrupt length-delimited field fails fast instead of looping") {
+    val base = fixtureBytes("fixture_mp.mpf")
+    // unknown field 20 (tag a2 01), wire 2, varint length far beyond the
+    // buffer (and negative after toInt)
+    val bad = base ++ Array[Byte](0xA2.toByte, 0x01, -1, -1, -1, -1, 0x7F)
+    val e = intercept[IllegalArgumentException] { Mpf.fromBytes(bad) }
+    assert(e.getMessage.contains("malformed"))
   }
 }

@@ -113,14 +113,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // within the batch — must be sorted) PLUS stale points 20..24 that are
     // older than batch 2's own contribution but NEWER than batch 1's max —
     // in-order relative to state, so accepted after the sort; batch 3:
-    // replays 5..9 (older than the high-water mark — must be dropped)
+    // replays 5..9 (older than the high-water mark) AND redelivers point
+    // 49 (exactly AT the high-water mark — an at-least-once duplicate) —
+    // all must be dropped
     source.addData((0 until 20).map(pt))
     q.processAllAvailable()
     val b2 = scala.util.Random.javaRandomToRandom(
       new java.util.Random(7)).shuffle((20 until 50).toList)
     source.addData(b2.map(pt))
     q.processAllAvailable()
-    source.addData((5 until 10).map(pt))
+    source.addData((5 until 10).map(pt) :+ pt(49))
     q.processAllAvailable()
     q.stop()
 
