@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 import org.apache.spark.storage.StorageLevel
 import graft.ops.ColSyntax._
 
@@ -39,23 +41,31 @@ object Dedup {
     * generation. The oversized-key set is tiny (it only exists under mass
     * duplication), so it broadcasts into a left-anti join — the big banded
     * side is never shuffled for the cap. The count of dropped buckets is
-    * computed eagerly and logged: no silent caps, and the action warms the
-    * persisted signature stage the banding derives from.
+    * NOT counted eagerly (that would make every dedup query two Spark
+    * actions): a named accumulator on the oversized-key rows fills in when
+    * the caller's OWN action materializes the plan, and a session-wide
+    * QueryExecutionListener logs any increase after each action — no
+    * silent caps, one action per query. (An `observe()` metric does not
+    * survive here: the capped output forks into both candidate-join sides,
+    * and the driver's observedMetrics read whichever duplicated
+    * CollectMetrics instance did NOT execute.)
+    *
+    * The capped output is persisted: every caller immediately forks it
+    * into the two sides of the candidate equi-join, and an unpersisted
+    * fork would run the banding + anti-join twice (and tick the
+    * accumulator twice). Behind the cache the cap materializes once.
     */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String],
       maxBucket: Int, what: String): DataFrame = {
     if (maxBucket <= 0) return banded // explicit opt-out: uncapped
+    val acc = CapBucketsLog.accumulatorFor(banded.sparkSession, what, maxBucket)
+    val mark = udf(() => { acc.add(1L); true }).asNondeterministic()
     val over = banded.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bsize"))
-      .where($"bsize" > maxBucket)
+      .where($"bsize" > maxBucket && mark())
       .select(keyCols.map(col): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nOver = over.count()
-    if (nOver > 0)
-      log.warn(s"$what: dropping $nOver bucket(s) over $maxBucket members " +
-        "from candidate generation (mass-duplicate skew guard; run " +
-        "Dedup.exact / Dedup.pipeline first to collapse exact duplicates)")
     banded.join(broadcast(over), keyCols, "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Hash-spread an (id, text) projection before a CPU-heavy typed kernel
@@ -345,4 +355,65 @@ object Dedup {
       .select($"id_a", $"id_b",
         floor($"cosine" * 10000.0).cast("long").as("cosine_e4"))
   }
+}
+
+/** Session-level sink for [[Dedup]]'s bucket-cap accumulators: one named
+  * LongAccumulator per (session, builder) fills in when the caller's own
+  * action materializes the capped plan, and a QueryExecutionListener logs
+  * any increase after each action — the no-silent-caps guarantee without a
+  * second eager Spark action per dedup query. Counts are best-effort (a
+  * retried task could double-tick) and monotone per session; the logged
+  * number is the per-action delta.
+  */
+private[graft] object CapBucketsLog {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
+  private final class Entry(val acc: org.apache.spark.util.LongAccumulator,
+      val maxBucket: Int) {
+    @volatile var logged: Long = 0L
+  }
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Entry]()
+
+  /** Last-known oversized-bucket count for `what` (diagnostics/tests). */
+  def lastOverCount(what: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    entries.asScala.collect { case ((_, w), e) if w == what => e.acc.value.longValue }
+      .maxOption
+  }
+
+  def accumulatorFor(spark: SparkSession, what: String,
+      maxBucket: Int): org.apache.spark.util.LongAccumulator =
+    entries.computeIfAbsent((spark, what), { key =>
+      registerListener(spark)
+      new Entry(spark.sparkContext.longAccumulator(s"graft.capBuckets.$what"),
+        maxBucket)
+    }).acc
+
+  private val sessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def registerListener(spark: SparkSession): Unit =
+    if (sessions.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit = {
+          import scala.jdk.CollectionConverters._
+          entries.asScala.foreach { case ((s, what), e) =>
+            if (s eq qe.sparkSession) {
+              val v = e.acc.value.longValue
+              if (v > e.logged) {
+                log.warn(s"$what: dropping ${v - e.logged} bucket(s) over " +
+                  s"${e.maxBucket} members from candidate generation " +
+                  "(mass-duplicate skew guard; run Dedup.exact / " +
+                  "Dedup.pipeline first to collapse exact duplicates)")
+                e.logged = v
+              }
+            }
+          }
+        }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            error: Exception): Unit = ()
+      })
+    }
 }

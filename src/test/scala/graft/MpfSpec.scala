@@ -143,6 +143,63 @@ class MpfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reads a legal-but-non-canonical foreign writer: out-of-order fields, " +
+      "non-packed repeated scalars, split packed runs") {
+    // proto3 wire format allows any field order, repeated scalars emitted
+    // one-tag-per-element (non-packed), and a packed run split across
+    // multiple occurrences — canonical serializers never produce these, a
+    // foreign writer legally can (spec: protobuf encoding docs)
+    def vint(v: Long): Array[Byte] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var x = v
+      while ((x & ~0x7fL) != 0) { b += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+      (b += x.toByte).toArray
+    }
+    def tag(f: Int, w: Int): Array[Byte] = vint((f.toLong << 3) | w)
+    def d64(v: Double): Array[Byte] = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v).array
+    def ld(f: Int, bs: Array[Byte]): Array[Byte] = tag(f, 2) ++ vint(bs.length.toLong) ++ bs
+
+    // DoubleMatrix: per-element fixed64 data FIRST, then cols, then rows
+    val dmat =
+      tag(3, 1) ++ d64(0.25) ++ tag(3, 1) ++ d64(0.5) ++ tag(3, 1) ++ d64(1.0) ++
+      tag(2, 0) ++ vint(0) ++ tag(1, 0) ++ vint(3)
+    // IntMatrix: non-packed varint data, rows field last
+    val imat = tag(3, 0) ++ vint(2) ++ tag(3, 0) ++ vint(0) ++ tag(3, 0) ++ vint(1) ++
+      tag(1, 0) ++ vint(3)
+    // MatrixProfile submessage: ez before the matrices
+    val mpMsg = tag(9, 0) ++ vint(2) ++ ld(1, dmat) ++ ld(2, imat)
+    // MPFOutput: av_type first, windows as a split packed run ([4,6] packed
+    // then 8 non-packed), metric/sample_pct/algorithm/klass at the end
+    val bytes =
+      ld(14, "default".getBytes("UTF-8")) ++
+      ld(8, mpMsg) ++
+      ld(5, vint(4) ++ vint(6)) ++ // packed run [4, 6]
+      tag(5, 0) ++ vint(8) ++      // non-packed continuation: 8
+      ld(3, "euclidean".getBytes("UTF-8")) ++
+      tag(4, 1) ++ d64(0.5) ++
+      ld(2, "mpx".getBytes("UTF-8")) ++
+      ld(1, "MatrixProfile".getBytes("UTF-8"))
+
+    val o = Mpf.fromBytes(bytes)
+    assert(o.klass == "MatrixProfile" && o.algorithm == "mpx" &&
+      o.metric == "euclidean" && o.samplePct == 0.5)
+    assert(o.windows == Seq(4L, 6L, 8L),
+      "split packed + non-packed repeated runs must concatenate in order")
+    val m = o.mp.get
+    assert(m.ez == 2 && m.mp.get.rows == 3)
+    assert(m.mp.get.data.toSeq == Seq(0.25, 0.5, 1.0))
+    assert(m.pi.get.data.toSeq == Seq(2L, 0L, 1L))
+    assert(o.avType == "default")
+    // and the canonical re-encode of the decoded message round-trips
+    val rt = Mpf.fromBytes(Mpf.toBytes(o))
+    assert(rt.klass == o.klass && rt.windows == o.windows &&
+      rt.samplePct == o.samplePct && rt.avType == o.avType)
+    assert(rt.mp.get.ez == 2 &&
+      rt.mp.get.mp.get.data.toSeq == Seq(0.25, 0.5, 1.0) &&
+      rt.mp.get.pi.get.data.toSeq == Seq(2L, 0L, 1L))
+  }
+
   test("corrupt length-delimited field fails fast instead of looping") {
     val base = fixtureBytes("fixture_mp.mpf")
     // unknown field 20 (tag a2 01), wire 2, varint length far beyond the

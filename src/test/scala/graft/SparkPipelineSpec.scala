@@ -203,6 +203,42 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup builders are one-action: construction runs zero jobs and the " +
+      "bucket-cap count arrives via observe() on the query's own action") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // one 12-clone degenerate group: every band bucket of the clones
+    // exceeds maxBucket=3 and must be dropped (and counted)
+    val docs = ((0 until 12).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta")) ++
+      (0 until 8).map(i => (100L + i, s"unique text number $i with words ${i * 7}")))
+      .toDF("doc_id", "text")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.ops.Dedup.minhashLsh(docs, maxBucket = 3)
+      Thread.sleep(1500) // listener bus is async; drain before asserting
+      assert(jobs.get() == 0,
+        s"building the dedup plan must not run any Spark job (ran ${jobs.get()})")
+      df.count() // the single action
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the metric lives on the broadcast-side subtree; assert it reached the
+    // session listener (bus delivery is async)
+    var tries = 0
+    while (!graft.ops.CapBucketsLog.lastOverCount("minhashLsh").exists(_ > 0L)
+        && tries < 50) {
+      Thread.sleep(100); tries += 1
+    }
+    assert(graft.ops.CapBucketsLog.lastOverCount("minhashLsh").exists(_ > 0L),
+      "expected the oversized-bucket count to be observed on the main action")
+    spark.catalog.clearCache()
+  }
+
   test("driver-side clustering fails fast beyond MaxDriverSeries (clean " +
       "error, not an OOM)") {
     val tooMany = Array.fill(graft.dist.PairwiseDist.MaxDriverSeries + 1)(
