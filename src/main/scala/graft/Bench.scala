@@ -94,9 +94,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
+    // warm reps per query: the r3 verdict's methodology fix — report the
+    // first (cold: codegen + JIT + scan warmup) run AND the median of
+    // `warmReps` further runs. Spark caches are cleared between EVERY rep,
+    // so warm numbers measure the full recompute in a warmed JVM, never
+    // cache hits; round-over-round comparability rule lives in BENCH.md.
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     if (!skipQueries) {
-      // warm up the JVM/codegen and page the inputs so the first timed
-      // query doesn't absorb session startup
+      // page the inputs so the first timed query doesn't absorb file I/O
       Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => }
@@ -105,33 +110,61 @@ object Bench {
     val results =
       if (skipQueries) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // queries persist shared intermediates (LSH signatures, quantized
-        // series) — drop them so each query is timed cold and caches don't
-        // accumulate across the suite
-        spark.catalog.clearCache()
-        name -> dt
+        val times = (0 to warmReps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // queries persist shared intermediates (LSH signatures, quantized
+          // series) — drop them so no rep ever reads another's cache
+          spark.catalog.clearCache()
+          dt
+        }
+        val warm =
+          if (times.length <= 1) times.head
+          else {
+            val s = times.tail.sorted
+            s(s.length / 2) // upper median of the warm reps
+          }
+        (name, times.head, warm)
       }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, c, _) => "\"" + k + f"""":$c%.3f""" }
+      .mkString("{", ",", "}")
+    val qsWarm = results.map { case (k, _, w) => "\"" + k + f"""":$w%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalWarm = results.map(_._3).sum
+    val load1 = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
 
-    val (nPoints, rolled, nSubseq, rollupSec, genericSec, mpSec) =
-      pipelineBench(spark, benchConvs, turnsScale)
+    // pipeline legs: rep 1 is the round-over-round-comparable cold number
+    // (identical harness to r01-r03); further reps give the warm best
+    val pipelineReps = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPS", "2").toInt
+    val pipeRuns = (1 to math.max(1, pipelineReps)).map { _ =>
+      val r = pipelineBench(spark, benchConvs, turnsScale)
+      spark.catalog.clearCache()
+      r
+    }
+    val (nPoints, rolled, nSubseq, rollupSec, genericSec, mpSec) = pipeRuns.head
+    val rollupWarm = pipeRuns.map(_._4).min
+    val mpWarm = pipeRuns.map(_._6).min
     val pointsPerSec = nPoints / rollupSec
     val pointsPerSecGeneric = nPoints / genericSec
     val subseqPerSec = nSubseq / mpSec
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""queries_warm_median":$qsWarm,"total_warm":$totalWarm%.3f,""" +
+      f""""warm_reps":$warmReps,"host_load1":$load1%.2f,""" +
       f""""sf":"$sfDir","cpus":$cpus,"bench_convs":$benchConvs,""" +
       f""""rollup_points":$nPoints,"rolled_rows":$rolled,"rollup_sec":$rollupSec%.3f,""" +
       f""""points_per_sec":$pointsPerSec%.0f,""" +
       f""""rollup_generic_sec":$genericSec%.3f,""" +
       f""""points_per_sec_generic":$pointsPerSecGeneric%.0f,""" +
       f""""mp_subsequences":$nSubseq,"mp_sec":$mpSec%.3f,""" +
-      f""""subseq_per_sec":$subseqPerSec%.0f}""")
+      f""""subseq_per_sec":$subseqPerSec%.0f,""" +
+      f""""rollup_sec_warm":$rollupWarm%.3f,"mp_sec_warm":$mpWarm%.3f,""" +
+      f""""points_per_sec_warm":${nPoints / rollupWarm}%.0f,""" +
+      f""""subseq_per_sec_warm":${nSubseq / mpWarm}%.0f}""")
     spark.stop()
   }
 }

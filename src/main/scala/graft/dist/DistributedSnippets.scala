@@ -14,10 +14,12 @@ import graft.kernels.{MpDist, Snippets}
   * on a locality property of `MpDist.mpdistVector`: output offset i
   * depends only on ts[i .. i+size-2] (the column minima window and the
   * row moving-min window both end there) plus the size-1-point candidate.
-  * So the fan-out axis is (candidate × offset-tile): each task receives a
-  * tile slice of ≤ tileSize+size-2 points and one candidate — sub-linear
-  * task input, like DistributedMp's halo'd MP tiles — and emits its dv
-  * chunk.
+  * So the fan-out axis is (candidate × tile-group): each task receives a
+  * slice of ≤ tilesPerTask·tileSize+size-2 points and one candidate —
+  * sub-linear task input, like DistributedMp's halo'd MP tiles — and emits
+  * one dv chunk per tileSize tile, computed tile-by-tile with the
+  * candidate's per-row query FFTs prepared once per padded length (the
+  * dominant MASS cost amortizes across the group's tiles).
   *
   * The greedy min-coverage selection (Snippets.select's loop) then runs
   * as k distributed rounds over the chunk Dataset: per round, one
@@ -34,30 +36,70 @@ object DistributedSnippets {
   final case class SnippetRow(conv_id: String, rank: Int, index: Long,
       fraction: Double)
 
-  /** One (candidate, offset-tile) task: `tsSlice` covers offsets
-    * [t0, t1) plus the size-2 halo; `cand` is the size-1-point snippet
-    * candidate at global offset ci*size.
+  /** One (candidate, tile-group) task: `tsSlice` covers dv offsets
+    * [g0, g0 + tilesPerTask*tileSize) plus the size-2 halo; `cand` is the
+    * size-1-point snippet candidate at global offset ci*size. The task
+    * still emits one DvChunk per tileSize tile (the greedy-selection rounds
+    * downstream are keyed on per-tile t0), but computes several tiles so
+    * the candidate's per-row query FFTs — the dominant cost, one length-P
+    * transform per matrix row — prepare once and serve every equal-length
+    * tile in the group.
     */
-  final case class SnipTile(conv_id: String, ci: Int, t0: Int,
+  final case class SnipTile(conv_id: String, ci: Int, g0: Int,
       tsSlice: Array[Double], cand: Array[Double])
 
   final case class DvChunk(conv_id: String, ci: Int, t0: Int,
       dv: Array[Double])
 
-  private def tileGen(s: SeriesRow, size: Int, tileSize: Int): Iterator[SnipTile] = {
+  private def tileGen(s: SeriesRow, size: Int, tileSize: Int,
+      tilesPerTask: Int): Iterator[SnipTile] = {
     if (s.values.length < 2 * size) return Iterator.empty
     val padded = Snippets.pad(s.values, size)
     val padlen = padded.length
     val dvLen = padlen - size + 2 // mpdistVector output length, |tsB| = size-1
+    val span = tileSize * tilesPerTask
     val cands = Array.range(0, padlen - size, size)
     for {
       ci <- cands.indices.iterator
-      t0 <- (0 until dvLen by tileSize).iterator
+      g0 <- (0 until dvLen by span).iterator
     } yield {
-      val t1 = math.min(t0 + tileSize, dvLen)
-      SnipTile(s.conv_id, ci, t0,
-        java.util.Arrays.copyOfRange(padded, t0, math.min(padlen, t1 + size - 2)),
+      val g1 = math.min(g0 + span, dvLen)
+      SnipTile(s.conv_id, ci, g0,
+        java.util.Arrays.copyOfRange(padded, g0, math.min(padlen, g1 + size - 2)),
         java.util.Arrays.copyOfRange(padded, cands(ci), cands(ci) + size - 1))
+    }
+  }
+
+  /** All tileSize-tiles of one group task: per-tile MASS matrices with the
+    * candidate's query transforms prepared once per padded length, then the
+    * shared mpdistVector pipeline. Per-tile values are identical to the
+    * one-tile-per-task computation (same slices, same transforms).
+    */
+  private def groupChunks(t: SnipTile, w: Int, size: Int,
+      tileSize: Int): Iterator[DvChunk] = {
+    val nDv = t.tsSlice.length - size + 2
+    val rows = t.cand.length - w + 1
+    val pqByLen =
+      scala.collection.mutable.Map.empty[Int, Array[graft.kernels.Mass2.PreparedQuery]]
+    val zByLen = scala.collection.mutable.Map.empty[Int, Array[Double]]
+    (0 until nDv by tileSize).iterator.map { rel =>
+      val relEnd = math.min(rel + tileSize, nDv)
+      val tileSlice = java.util.Arrays.copyOfRange(t.tsSlice, rel,
+        math.min(t.tsSlice.length, relEnd + size - 2))
+      val prep = graft.kernels.Mass2.prepare(tileSlice, w)
+      val pqs = pqByLen.getOrElseUpdate(prep.p, Array.tabulate(rows) { i =>
+        graft.kernels.Mass2.prepareQuery(
+          java.util.Arrays.copyOfRange(t.cand, i, i + w), prep.p)
+      })
+      val zBuf = zByLen.getOrElseUpdate(prep.p, new Array[Double](2 * prep.p))
+      val plen = prep.n - w + 1
+      val matrix = Array.tabulate(rows) { i =>
+        val row = new Array[Double](plen)
+        graft.kernels.Mass2.mass2BothRealInto(prep, pqs(i), zBuf, row)
+        row
+      }
+      DvChunk(t.conv_id, t.ci, t.g0 + rel,
+        MpDist.mpdistVectorFromMatrix(matrix, tileSlice.length, t.cand.length, w))
     }
   }
 
@@ -66,10 +108,17 @@ object DistributedSnippets {
     aggregate(zip_with(a, b, (x, y) => least(x, y)), lit(0.0), (acc, v) => acc + v)
 
   def snippets(series: Dataset[SeriesRow], size: Int, numSnippets: Int = 2,
-      windowSize0: Int = 0, tileSize: Int = 1 << 14): Dataset[SnippetRow] = {
+      windowSize0: Int = 0, tileSize: Int = 1 << 14,
+      tilesPerTask: Int = 4): Dataset[SnippetRow] = {
     require(size >= 4, "snippet_size must be an integer >= 4")
+    require(tilesPerTask >= 1, "tilesPerTask must be >= 1")
     val w = if (windowSize0 > 0) windowSize0 else math.floor(size / 2.0).toInt
     require(w < size, "window_size must be smaller than snippet_size")
+    // snap the tile up so the MASS slice length tileSize+size-2 lands
+    // exactly on a power of two: a 16k tile with a 1k snippet otherwise
+    // yields 17406-point slices that pad to 32768 — half of every
+    // transform spent on padding
+    val tileEff = graft.kernels.Fft.fastLength(tileSize + size - 2) - (size - 2)
     val spark = series.sparkSession
     import spark.implicits._
 
@@ -79,10 +128,14 @@ object DistributedSnippets {
       (s.conv_id, padlen)
     }.toDF("conv_id", "padlen")
 
-    val chunks = series.flatMap(s => tileGen(s, size, tileSize))
-      .repartition($"conv_id", $"ci", $"t0")
-      .map(t => DvChunk(t.conv_id, t.ci, t.t0,
-        MpDist.mpdistVector(t.tsSlice, t.cand, w)))
+    // spread group tasks over many more partitions than the session's
+    // shuffle default: a handful of heavy (candidate, group) keys hashed
+    // into cpus*2 buckets serializes several multi-second kernels into one
+    // task and stalls the stage on stragglers
+    val groupParts = spark.sparkContext.defaultParallelism * 8
+    val chunks = series.flatMap(s => tileGen(s, size, tileEff, tilesPerTask))
+      .repartition(groupParts, $"conv_id", $"ci", $"g0")
+      .flatMap(t => groupChunks(t, w, size, tileEff))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // greedy rounds: winners per conversation, running elementwise minima

@@ -216,42 +216,10 @@ object BruteMp {
   }
 
   /** The column-min + moving-min + per-offset selection pipeline of
-    * MpDist.mpdistVector, shared so tests can cross-check matrices.
+    * MpDist.mpdistVector (one shared implementation — only the distance
+    * matrices differ between the twin and the kernel).
     */
   def mpdistVectorFromMatrix(matrix: Array[Array[Double]], tsLen: Int,
-      tsBLen: Int, w: Int): Array[Double] = {
-    val rows = matrix.length
-    val cols = matrix(0).length
-    val allRightHist = new Array[Double](cols)
-    java.util.Arrays.fill(allRightHist, Double.PositiveInfinity)
-    var i = 0
-    while (i < rows) {
-      var j = 0
-      while (j < cols) {
-        if (matrix(i)(j) < allRightHist(j)) allRightHist(j) = matrix(i)(j)
-        j += 1
-      }
-      i += 1
-    }
-    val massMinimums = new Array[Array[Double]](rows)
-    i = 0
-    while (i < rows) {
-      massMinimums(i) = MovingStats.movingMin(matrix(i), rows)
-      i += 1
-    }
-    val mpdistLength = tsLen - tsBLen + 1
-    val rightHistLength = tsBLen - w + 1
-    val out = new Array[Double](mpdistLength)
-    i = 0
-    while (i < mpdistLength) {
-      val profile = new Array[Double](rows + rightHistLength)
-      var j = 0
-      while (j < rows) { profile(j) = massMinimums(j)(i); j += 1 }
-      j = 0
-      while (j < rightHistLength) { profile(rows + j) = allRightHist(i + j); j += 1 }
-      out(i) = MpDist.calculateMpdist(profile, 0.05, 2 * tsBLen)
-      i += 1
-    }
-    out
-  }
+      tsBLen: Int, w: Int): Array[Double] =
+    MpDist.mpdistVectorFromMatrix(matrix, tsLen, tsBLen, w)
 }

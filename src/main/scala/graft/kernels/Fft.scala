@@ -46,6 +46,25 @@ object Fft {
     buf
   }
 
+  /** Smallest power of two >= n: JTransforms takes its radix-2 path there,
+    * where an awkward length (large prime factor) would fall into
+    * Bluestein's algorithm — internally THREE transforms at ~4x the
+    * length. Convolution consumers may zero-pad to this length freely: the
+    * valid output region [m-1, n-1] of the MASS circular convolution is
+    * identical in exact arithmetic for any padded length >= n.
+    */
+  def fastLength(n: Int): Int =
+    if (n <= 1) 1 else Integer.highestOneBit(n - 1) << 1
+
+  /** fftReal of `a` zero-padded to length p (p >= a.length). */
+  def fftRealPadded(a: Array[Double], p: Int): Array[Double] = {
+    require(p >= a.length, s"pad $p < input ${a.length}")
+    val buf = new Array[Double](2 * p)
+    System.arraycopy(a, 0, buf, 0, a.length)
+    plan(p).realForwardFull(buf)
+    buf
+  }
+
   /** In-place complex inverse FFT on interleaved data (scaled by 1/n, like
     * np.fft.ifft).
     */
@@ -57,6 +76,16 @@ object Fft {
     */
   def complexMult(x: Array[Double], y: Array[Double]): Array[Double] = {
     val out = new Array[Double](x.length)
+    complexMultInto(x, y, out)
+    out
+  }
+
+  /** Element-wise complex multiply into a caller-provided buffer — the
+    * allocation-free path for tasks issuing many transforms of one length
+    * (each fresh 2p scratch otherwise becomes ~0.5 MB of garbage per row).
+    */
+  def complexMultInto(x: Array[Double], y: Array[Double],
+      out: Array[Double]): Unit = {
     var i = 0
     while (i < x.length) {
       val xr = x(i); val xi = x(i + 1)
@@ -65,7 +94,6 @@ object Fft {
       out(i + 1) = xr * yi + xi * yr
       i += 2
     }
-    out
   }
 
   /** Sliding dot product of `query` over `ts` via FFT convolution; returns

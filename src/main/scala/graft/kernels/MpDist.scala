@@ -40,24 +40,82 @@ object MpDist {
   }
 
   /** MPDist from an already-built profile (ref mpdist.py:109-142). Note the
-    * selection index here is ceil(threshold*len) (no -1), per the reference.
+    * selection index here is ceil(threshold*len) (no -1), per the
+    * reference. The k-th order statistic is found by in-place quickselect —
+    * value-identical to the reference's sort-then-index, ~5x cheaper on the
+    * snippets hot path (one selection per dv offset) — so `profile` is
+    * MUTATED (compacted + partially reordered); callers refill it.
     */
   def calculateMpdist(profile: Array[Double], threshold: Double, dataLength: Int): Double = {
     val distLoc = math.ceil(threshold * dataLength).toInt
-    val clean = profile.filter(v => !v.isNaN && !v.isInfinite)
-    if (clean.length < 1) Double.PositiveInfinity
-    else {
-      java.util.Arrays.sort(clean)
-      if (clean.length >= distLoc) clean(distLoc) else clean(clean.length - 1)
+    // compact finite values in place
+    var n = 0
+    var i = 0
+    while (i < profile.length) {
+      val v = profile(i)
+      if (!v.isNaN && !v.isInfinite) { profile(n) = v; n += 1 }
+      i += 1
     }
+    if (n < 1) Double.PositiveInfinity
+    else if (n > distLoc) kthSmallest(profile, n, distLoc)
+    else {
+      // reference behavior: fewer values than the selection index -> max
+      // (sorted last); n == distLoc would index out of bounds there too
+      require(n != distLoc || distLoc == 0,
+        s"selection index $distLoc == profile length (reference would throw)")
+      if (n == 0) Double.PositiveInfinity
+      else {
+        var mx = profile(0)
+        var j = 1
+        while (j < n) { if (profile(j) > mx) mx = profile(j); j += 1 }
+        mx
+      }
+    }
+  }
+
+  /** In-place quickselect: the element that would sit at `a(k)` after
+    * sorting `a(0 until len)` ascending. Values must be NaN-free.
+    */
+  private def kthSmallest(a: Array[Double], len: Int, k: Int): Double = {
+    var lo = 0
+    var hi = len - 1
+    while (lo < hi) {
+      // median-of-3 pivot
+      val mid = (lo + hi) >>> 1
+      var pivot = a(mid)
+      val l0 = a(lo); val h0 = a(hi)
+      if ((pivot < l0) == (pivot < h0)) pivot = if ((l0 < pivot) == (l0 < h0)) h0 else l0
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (a(i) < pivot) i += 1
+        while (a(j) > pivot) j -= 1
+        if (i <= j) {
+          val t = a(i); a(i) = a(j); a(j) = t
+          i += 1; j -= 1
+        }
+      }
+      if (k <= j) hi = j
+      else if (k >= i) lo = i
+      else return a(k)
+    }
+    a(k)
   }
 
   /** Sliding MPDist of tsB against every offset of ts (ref
     * mpdist.py:145-184): column minima of the MASS matrix + per-row moving
     * minima over a window of `rows`.
     */
-  def mpdistVector(ts: Array[Double], tsB: Array[Double], w: Int): Array[Double] = {
-    val matrix = massDistanceMatrix(ts, tsB, w)
+  def mpdistVector(ts: Array[Double], tsB: Array[Double], w: Int): Array[Double] =
+    mpdistVectorFromMatrix(massDistanceMatrix(ts, tsB, w), ts.length, tsB.length, w)
+
+  /** The column-min + per-row moving-min + per-offset selection pipeline of
+    * [[mpdistVector]] over an already-built distance matrix — shared with
+    * DistributedSnippets (tile tasks build their matrices with prepared
+    * query transforms) and mirrored by BruteMp's SQL twin.
+    */
+  def mpdistVectorFromMatrix(matrix: Array[Array[Double]], tsLen: Int,
+      tsBLen: Int, w: Int): Array[Double] = {
     val rows = matrix.length
     val cols = matrix(0).length
 
@@ -81,17 +139,18 @@ object MpDist {
       i += 1
     }
 
-    val mpdistLength = ts.length - tsB.length + 1
-    val rightHistLength = tsB.length - w + 1
+    val mpdistLength = tsLen - tsBLen + 1
+    val rightHistLength = tsBLen - w + 1
     val out = new Array[Double](mpdistLength)
+    // one scratch, fully refilled per offset (calculateMpdist mutates it)
+    val profile = new Array[Double](rows + rightHistLength)
     i = 0
     while (i < mpdistLength) {
-      val profile = new Array[Double](rows + rightHistLength)
       var j = 0
       while (j < rows) { profile(j) = massMinimums(j)(i); j += 1 }
       j = 0
       while (j < rightHistLength) { profile(rows + j) = allRightHist(i + j); j += 1 }
-      out(i) = calculateMpdist(profile, 0.05, 2 * tsB.length)
+      out(i) = calculateMpdist(profile, 0.05, 2 * tsBLen)
       i += 1
     }
     out

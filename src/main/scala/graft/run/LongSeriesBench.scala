@@ -61,6 +61,21 @@ object LongSeriesBench {
     }
     val ds = spark.createDataset(Seq(SeriesRow("big", "v", 0L, values)))
 
+    if (algo == "stream") {
+      // streaming left-profile kernel throughput: a batch of `tile` new
+      // windows arriving on an n-point retained tail (one MASS profile per
+      // new window, fft(tail) shared across the batch)
+      val from = math.max(0, (n - w + 1) - tile)
+      graft.streaming.StreamingRollup.leftProfileScores(values, w, from) // warm
+      val t0 = System.nanoTime()
+      val s = graft.streaming.StreamingRollup.leftProfileScores(values, w, from)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[long-series] algo=stream n=$n w=$w new_windows=${s.length} " +
+        f"wall=$sec%.2fs windows/s=${s.length / sec}%.3e")
+      spark.stop()
+      return
+    }
+
     if (algo == "snip") {
       val size = w // arg reuse: snippet size
       val padlen = (size * math.ceil(n.toDouble / size)).toLong
