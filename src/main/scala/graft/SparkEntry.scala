@@ -232,6 +232,7 @@ object SparkEntry {
 
     "q28_ab_join" -> ((s, dir) => MpQueries.q28(s, dir)),
     "q32_pmp_discords" -> ((s, dir) => MpQueries.q32(s, dir)),
+    "q34_pmp_motifs" -> ((s, dir) => MpQueries.q34(s, dir)),
     "q29_annotation_vectors" -> ((s, dir) => MpQueries.q29(s, dir)),
     "q30_hierarchical_clusters" -> ((s, dir) => MpQueries.q30(s, dir)),
 
@@ -373,6 +374,7 @@ object SparkEntry {
     "q27_multimodal_features" -> OracleSqlGen.q27,
     "q28_ab_join" -> OracleSqlGen.q28(),
     "q32_pmp_discords" -> OracleSqlGen.q32(),
+    "q34_pmp_motifs" -> OracleSqlGen.q34(),
     "q29_annotation_vectors" -> OracleSqlGen.q29(),
     "q30_hierarchical_clusters" -> OracleSqlGen.q30()
   )

@@ -247,6 +247,61 @@ object MpQueries {
     }.toDF("user_id", "rank", "window", "discord_idx", "discord_mp_e4")
   }
 
+  /** q34: PMP top-2 motifs over windows 8/12/16 — the full
+    * TopK.pmpTopKMotifs selection path (ref top_k_motifs.py:16-171):
+    * 2-D argmin with row-major tie-break, per-pick ez = floor(w/2),
+    * neighbor re-query bounded by radius·best with exclusion-zone
+    * suppression on both the neighbor profile and the winning row. The
+    * projected rows come from BruteMp.pmpMotifs (SQL-replayable doubles;
+    * the pearson→euclidean conversion √(2w(1−ρ)) is the shared pairDist
+    * expression in both engines); the REAL kernel — identical selection
+    * over the same PMP but with the MASS (FFT) neighbor profile — runs in
+    * the same query, gated by kernel_agree on every pick index, endpoint,
+    * and neighbor list.
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windows = Array(8, 12, 16)
+    quantSeries(s, dir).flatMap { q =>
+      val elig = windows.filter(w => q.vi.length >= minN(w))
+      if (elig.isEmpty) Iterator.empty
+      else {
+        val picks = BruteMp.pmpMotifs(q.vi, elig, k = 2, maxNeighbors = 2)
+        // the real kernel on the same brute PMP (rows padded to the
+        // longest profile, as the kernel expects)
+        val profiles = elig.map(w => BruteMp.selfProfile(q.vi, w))
+        val profileLen = profiles.map(_.mp.length).max
+        val pmp = profiles.map { p =>
+          val row = Array.fill(profileLen)(Double.PositiveInfinity)
+          System.arraycopy(p.mp, 0, row, 0, p.mp.length)
+          row
+        }
+        val pmpi = profiles.map { p =>
+          val row = Array.fill(profileLen)(-1L)
+          var i = 0
+          while (i < p.pi.length) { row(i) = p.pi(i).toLong; i += 1 }
+          row
+        }
+        val kern = TopK.pmpTopKMotifs(q.vi.map(_.toDouble), pmp, pmpi, elig,
+          None, k = 2, maxNeighbors = 2)
+        val agree = kern.length == picks.length && kern.zip(picks).forall {
+          case (km, bp) =>
+            km.motifs._1._1 == bp.row &&
+              km.motifs._1._2 == bp.a.toLong && km.motifs._2._2 == bp.b.toLong &&
+              km.neighbors.map(_._2).toSeq == bp.neighbors.map(_.toLong)
+        }
+        picks.iterator.zipWithIndex.map { case (p, i) =>
+          (q.user_id, (i + 1).toLong, elig(p.row).toLong, p.a.toLong, p.b.toLong,
+            e4(p.dist),
+            p.neighbors.headOption.fold(-1L)(_.toLong),
+            if (p.neighbors.length > 1) p.neighbors(1).toLong else -1L,
+            agree)
+        }
+      }
+    }.toDF("user_id", "rank", "window", "motif_a", "motif_b", "motif_mp_e4",
+      "nb1_idx", "nb2_idx", "kernel_agree")
+  }
+
   /** q15: Gorilla XOR chunk round-trip — losslessness plus first/last
     * decoded values (exact integers after quantization).
     */

@@ -233,6 +233,85 @@ SELECT user_id, rank, "window", discord_idx, discord_mp_e4 FROM (
   UNION ALL SELECT user_id, 3, w, pos, floor(mp * 10000.0)::BIGINT FROM p3)"""
   }
 
+  /** q34: PMP top-2 motifs (TopK.pmpTopKMotifs / ref
+    * top_k_motifs.py:16-171) — replayed as two chained pick blocks. Each
+    * block: 2-D argmin over the remaining pan-profile cells with row-major
+    * first-min tie-break (mp ASC, w ASC, pos ASC); pair endpoints a/b from
+    * the profile index; a FRESH neighbor distance profile anchored at `a`
+    * in the winning window (wdall: the both-direction pair distances —
+    * positions within minlag of the anchor sit inside the anchor's
+    * exclusion zone since ez = w//2 >= minlag, so the lag-restricted pair
+    * set is complete); zones [c-ez, c+ez] removed around a and b; then up
+    * to two neighbors, each the (dist ASC, j ASC) argmin under the
+    * radius·best bound (filter-then-argmin ≡ the kernel's
+    * argmin-then-test, since the bound is a threshold on the ordering
+    * key), each suppressing its own zone. Pick 2 sees the pan profile
+    * minus the zones pick 1 burned into its winning ROW ONLY (endpoints +
+    * accepted neighbors), exactly the kernel's tmp mutation; its neighbor
+    * profile is fresh (the kernel masks dp by the ORIGINAL pmp, not the
+    * suppressed copy).
+    */
+  def q34(windows: Seq[Int] = Seq(8, 12, 16), radius: Double = 3.0): String = {
+    val ctes = ptsCte +: windows.map(w => selfMpCtes(w, s"_w$w"))
+    val wdUnion = windows.map(w =>
+      s"""SELECT user_id, $w AS w, i AS s, j, dist FROM pd_w$w
+  UNION ALL SELECT user_id, $w AS w, j AS s, i AS j, dist FROM pd_w$w""")
+      .mkString(" UNION ALL ")
+    val pmUnion = windows.map(w =>
+      s"""SELECT user_id, $w AS w, pos, mp, pi FROM mp_w$w""").mkString(" UNION ALL ")
+
+    def pickBlock(p: String, src: String): String =
+      s"""p$p AS MATERIALIZED (
+  SELECT user_id, w, pos, mp, pi,
+         least(pos, pi) AS a, greatest(pos, pi) AS b, (w // 2)::BIGINT AS ez
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY mp ASC, w ASC, pos ASC) AS rn
+        FROM $src) WHERE rn = 1),
+dp$p AS MATERIALIZED (
+  SELECT d.user_id, d.j, d.dist
+  FROM wdall d JOIN p$p p ON d.user_id = p.user_id AND d.w = p.w AND d.s = p.a
+  WHERE NOT (d.j >= p.a - p.ez AND d.j <= p.a + p.ez)
+    AND NOT (d.j >= p.b - p.ez AND d.j <= p.b + p.ez)),
+n${p}1 AS MATERIALIZED (
+  SELECT user_id, j FROM (
+    SELECT d.user_id, d.j,
+           row_number() OVER (PARTITION BY d.user_id ORDER BY d.dist ASC, d.j ASC) AS rn
+    FROM dp$p d JOIN p$p p ON d.user_id = p.user_id
+    WHERE d.dist <= $radius * p.mp) WHERE rn = 1),
+n${p}2 AS MATERIALIZED (
+  SELECT user_id, j FROM (
+    SELECT d.user_id, d.j,
+           row_number() OVER (PARTITION BY d.user_id ORDER BY d.dist ASC, d.j ASC) AS rn
+    FROM dp$p d JOIN n${p}1 n ON d.user_id = n.user_id
+    JOIN p$p p ON d.user_id = p.user_id
+    WHERE NOT (d.j >= n.j - p.ez AND d.j <= n.j + p.ez)
+      AND d.dist <= $radius * p.mp) WHERE rn = 1)"""
+
+    s"""WITH ${ctes.mkString(",\n")},
+wdall AS MATERIALIZED ($wdUnion),
+pm0 AS MATERIALIZED ($pmUnion),
+${pickBlock("1", "pm0")},
+z1 AS MATERIALIZED (
+  SELECT user_id, w, a AS ctr, ez FROM p1
+  UNION ALL SELECT user_id, w, b, ez FROM p1
+  UNION ALL SELECT n.user_id, p.w, n.j, p.ez FROM n11 n JOIN p1 p ON n.user_id = p.user_id
+  UNION ALL SELECT n.user_id, p.w, n.j, p.ez FROM n12 n JOIN p1 p ON n.user_id = p.user_id),
+r2 AS (
+  SELECT m.* FROM pm0 m
+  WHERE NOT EXISTS (SELECT 1 FROM z1 z WHERE z.user_id = m.user_id AND z.w = m.w
+                    AND m.pos >= z.ctr - z.ez AND m.pos <= z.ctr + z.ez)),
+${pickBlock("2", "r2")}
+SELECT user_id, rank, "window", motif_a, motif_b, motif_mp_e4, nb1_idx, nb2_idx, kernel_agree FROM (
+  SELECT p.user_id, 1::BIGINT AS rank, p.w::BIGINT AS "window", p.a::BIGINT AS motif_a,
+         p.b::BIGINT AS motif_b, floor(p.mp * 10000.0)::BIGINT AS motif_mp_e4,
+         coalesce(n1.j, -1)::BIGINT AS nb1_idx, coalesce(n2.j, -1)::BIGINT AS nb2_idx,
+         TRUE AS kernel_agree
+  FROM p1 p LEFT JOIN n11 n1 ON p.user_id = n1.user_id LEFT JOIN n12 n2 ON p.user_id = n2.user_id
+  UNION ALL
+  SELECT p.user_id, 2, p.w, p.a, p.b, floor(p.mp * 10000.0)::BIGINT,
+         coalesce(n1.j, -1), coalesce(n2.j, -1), TRUE
+  FROM p2 p LEFT JOIN n21 n1 ON p.user_id = n1.user_id LEFT JOIN n22 n2 ON p.user_id = n2.user_id)"""
+  }
+
   /** q29: complexity annotation vector + corrected profile argmins at w=8
     * (AnnotationVectors.makeComplexityAv / applyAv over the brute mp).
     */
