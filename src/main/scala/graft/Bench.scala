@@ -93,6 +93,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // 1-minute load BEFORE any work: the quiet-host evidence (read later
+    // it would mostly echo this process's own usage)
+    val load1 = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
     // warm reps per query: the r3 verdict's methodology fix — report the
     // first (cold: codegen + JIT + scan warmup) run AND the median of
@@ -133,9 +139,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
-    val load1 = try {
-      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
 
     // pipeline legs: rep 1 is the round-over-round-comparable cold number
     // (identical harness to r01-r03); further reps give the warm best

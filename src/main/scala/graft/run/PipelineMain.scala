@@ -21,9 +21,18 @@ import graft.schema._
   */
 object PipelineMain {
 
+  /** Thrown by the `abortAfter` crash hook (ResumeBench's kill-resume
+    * evidence): everything up to and including the named stage has
+    * committed its ledger row; nothing after has run.
+    */
+  final class SimulatedCrash(stage: String)
+    extends RuntimeException(s"simulated crash after stage '$stage'")
+
   def run(spark: SparkSession, numConvs: Int, outDir: String, w: Int,
-      resume: Boolean = true): Unit = {
+      resume: Boolean = true, abortAfter: Option[String] = None): Unit = {
     import spark.implicits._
+    def maybeAbort(stage: String): Unit =
+      if (abortAfter.contains(stage)) throw new SimulatedCrash(stage)
     val ledger = new Ledger(spark, outDir, s"gen:v1:convs=$numConvs")
     if (!resume) {
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -37,6 +46,7 @@ object PipelineMain {
       ds.write.mode(SaveMode.Overwrite).parquet(out)
       (0L, spark.read.parquet(out).count())
     }
+    maybeAbort("transcripts")
     val transcripts = spark.read.parquet(transcriptsPath).as[Transcript]
 
     // stage 2: derived series points (time-indexed for rollup, position-
@@ -52,6 +62,7 @@ object PipelineMain {
       all.write.mode(SaveMode.Overwrite).partitionBy("kind").parquet(out)
       (transcripts.count(), spark.read.parquet(out).count())
     }
+    maybeAbort("series_points")
     val points = spark.read.parquet(pointsPath).as[SeriesPoint]
 
     // stage 3: Gorilla-compressed chunk structs for the raw tier
@@ -60,6 +71,8 @@ object PipelineMain {
       ch.write.mode(SaveMode.Overwrite).parquet(out)
       (0L, spark.read.parquet(out).count())
     }
+
+    maybeAbort("chunks_raw")
 
     // stage 4: continuous aggregates 1m -> 1h -> 1d (chained, salted),
     // then retention: coarse tiers are derived from the FULL fine tier
@@ -85,6 +98,8 @@ object PipelineMain {
       (raw.count(), m1r.count())
     }
 
+    maybeAbort("tiers")
+
     // stage 5: per-tier matrix profiles (mpx with chunk min/max-merge)
     val profilesPath = ledger.stage("profiles") { out =>
       // cache both assemblies: mpxProfiles scans its input twice (the
@@ -106,6 +121,8 @@ object PipelineMain {
       tierSeries.unpersist()
       (0L, spark.read.parquet(out).count())
     }
+
+    maybeAbort("profiles")
 
     // stage 6: discovery — top-k discords + regimes per profile
     val discoveryPath = ledger.stage("discovery") { out =>

@@ -49,6 +49,27 @@ class KernelStatsSpec extends AnyFunSuite {
       Array(0.67640791, 3.43092352, 3.43092352, 0.0, 1.85113597), decimal = 6)
   }
 
+  test("calculateMpdist quickselect equals the reference sort-then-index " +
+      "selection (value-identical k-th order statistic)") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 2, 5, 24, 101, 1024); dataLen <- Seq(4, 40, 400, 2046)) {
+      val arr = Array.fill(n)(rnd.nextDouble() * 10 - 5) ++
+        Array(Double.PositiveInfinity, Double.NaN)
+      val clean = arr.filter(v => !v.isNaN && !v.isInfinite)
+      val distLoc = math.ceil(0.05 * dataLen).toInt
+      if (clean.length != distLoc) { // == would index OOB in the reference
+        val expected =
+          if (clean.isEmpty) Double.PositiveInfinity
+          else {
+            val s = clean.sorted
+            if (s.length > distLoc) s(distLoc) else s.last
+          }
+        val got = MpDist.calculateMpdist(arr.clone(), 0.05, dataLen)
+        assert(got == expected, s"n=$n dataLen=$dataLen")
+      }
+    }
+  }
+
   test("moving min/max/median") {
     val a = Array[Double](3, 1, 4, 1, 5, 9, 2, 6)
     assertAlmostEqual(MovingStats.movingMin(a, 3), Array(1, 1, 1, 1, 2, 2))
