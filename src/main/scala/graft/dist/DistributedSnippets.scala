@@ -17,9 +17,9 @@ import graft.kernels.{MpDist, Snippets}
   * So the fan-out axis is (candidate × tile-group): each task receives a
   * slice of ≤ tilesPerTask·tileSize+size-2 points and one candidate —
   * sub-linear task input, like DistributedMp's halo'd MP tiles — and emits
-  * one dv chunk per tileSize tile, computed tile-by-tile with the
-  * candidate's per-row query FFTs prepared once per padded length (the
-  * dominant MASS cost amortizes across the group's tiles).
+  * one dv chunk per tileSize tile, each built from a rolling-diagonal
+  * exact-dot distance matrix (MpDist.dotDistanceMatrix — no per-row FFT
+  * work or transform state).
   *
   * The greedy min-coverage selection (Snippets.select's loop) then runs
   * as k distributed rounds over the chunk Dataset: per round, one
@@ -28,8 +28,9 @@ import graft.kernels.{MpDist, Snippets}
   * argmin (ties to the lowest candidate, the kernel's strict `>`), and
   * the running elementwise minimum updates by a 1:1 join. Only O(1) rows
   * per conversation per round materialize; no dv vector ever reaches the
-  * driver. Neighbor lists (O(n) per snippet) are intentionally not
-  * produced at scale — index + fraction are the snippet summary.
+  * driver. Neighbor lists (O(n) per snippet) are assembled relationally
+  * from the same mask bookkeeping via [[snippetsWithNeighbors]]; the
+  * default [[snippets]] output stays index + fraction.
   */
 object DistributedSnippets {
 
@@ -40,10 +41,9 @@ object DistributedSnippets {
     * [g0, g0 + tilesPerTask*tileSize) plus the size-2 halo; `cand` is the
     * size-1-point snippet candidate at global offset ci*size. The task
     * still emits one DvChunk per tileSize tile (the greedy-selection rounds
-    * downstream are keyed on per-tile t0), but computes several tiles so
-    * the candidate's per-row query FFTs — the dominant cost, one length-P
-    * transform per matrix row — prepare once and serve every equal-length
-    * tile in the group.
+    * downstream are keyed on per-tile t0); grouping several tiles per task
+    * bounds scheduling overhead while keeping live memory at one tile's
+    * matrix + moving-minima.
     */
   final case class SnipTile(conv_id: String, ci: Int, g0: Int,
       tsSlice: Array[Double], cand: Array[Double])
@@ -70,36 +70,21 @@ object DistributedSnippets {
     }
   }
 
-  /** All tileSize-tiles of one group task: per-tile MASS matrices with the
-    * candidate's query transforms prepared once per padded length, then the
-    * shared mpdistVector pipeline. Per-tile values are identical to the
-    * one-tile-per-task computation (same slices, same transforms).
+  /** All tileSize-tiles of one group task: per-tile pair-distance matrices
+    * via MpDist.dotDistanceMatrix (rolling-diagonal exact dots — no
+    * per-row FFT state, so a task's live memory is one tile's matrix +
+    * its moving-minima, independent of the candidate's row count), then
+    * the shared mpdistVector pipeline.
     */
   private def groupChunks(t: SnipTile, w: Int, size: Int,
       tileSize: Int): Iterator[DvChunk] = {
     val nDv = t.tsSlice.length - size + 2
-    val rows = t.cand.length - w + 1
-    val pqByLen =
-      scala.collection.mutable.Map.empty[Int, Array[graft.kernels.Mass2.PreparedQuery]]
-    val zByLen = scala.collection.mutable.Map.empty[Int, Array[Double]]
     (0 until nDv by tileSize).iterator.map { rel =>
       val relEnd = math.min(rel + tileSize, nDv)
       val tileSlice = java.util.Arrays.copyOfRange(t.tsSlice, rel,
         math.min(t.tsSlice.length, relEnd + size - 2))
-      val prep = graft.kernels.Mass2.prepare(tileSlice, w)
-      val pqs = pqByLen.getOrElseUpdate(prep.p, Array.tabulate(rows) { i =>
-        graft.kernels.Mass2.prepareQuery(
-          java.util.Arrays.copyOfRange(t.cand, i, i + w), prep.p)
-      })
-      val zBuf = zByLen.getOrElseUpdate(prep.p, new Array[Double](2 * prep.p))
-      val plen = prep.n - w + 1
-      val matrix = Array.tabulate(rows) { i =>
-        val row = new Array[Double](plen)
-        graft.kernels.Mass2.mass2BothRealInto(prep, pqs(i), zBuf, row)
-        row
-      }
       DvChunk(t.conv_id, t.ci, t.g0 + rel,
-        MpDist.mpdistVectorFromMatrix(matrix, tileSlice.length, t.cand.length, w))
+        MpDist.mpdistVector(tileSlice, t.cand, w))
     }
   }
 
@@ -107,35 +92,59 @@ object DistributedSnippets {
   private def sumMin(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => least(x, y)), lit(0.0), (acc, v) => acc + v)
 
+  final case class SnippetNbrRow(conv_id: String, rank: Int, index: Long,
+      fraction: Double, neighbors: Array[Long])
+
   def snippets(series: Dataset[SeriesRow], size: Int, numSnippets: Int = 2,
       windowSize0: Int = 0, tileSize: Int = 1 << 14,
       tilesPerTask: Int = 4): Dataset[SnippetRow] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    core(series, size, numSnippets, windowSize0, tileSize, tilesPerTask)
+      .select($"conv_id", $"rank", $"index", $"fraction")
+      .as[SnippetRow]
+  }
+
+  /** Snippets WITH the reference's neighbor lists (ref snippets.py:108-124)
+    * as an array column — offsets where the snippet is the coverage
+    * argmin, capped at maxIndex = n - size, plus the tail extension when
+    * the final offset qualifies. The mask bookkeeping is shared with the
+    * fraction accounting; neighbor sets are assembled relationally
+    * (collect + flatten + sort), never on the driver.
+    */
+  def snippetsWithNeighbors(series: Dataset[SeriesRow], size: Int,
+      numSnippets: Int = 2, windowSize0: Int = 0, tileSize: Int = 1 << 14,
+      tilesPerTask: Int = 4): Dataset[SnippetNbrRow] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    core(series, size, numSnippets, windowSize0, tileSize, tilesPerTask)
+      .as[SnippetNbrRow]
+  }
+
+  private def core(series: Dataset[SeriesRow], size: Int, numSnippets: Int,
+      windowSize0: Int, tileSize: Int, tilesPerTask: Int): DataFrame = {
     require(size >= 4, "snippet_size must be an integer >= 4")
     require(tilesPerTask >= 1, "tilesPerTask must be >= 1")
     val w = if (windowSize0 > 0) windowSize0 else math.floor(size / 2.0).toInt
     require(w < size, "window_size must be smaller than snippet_size")
-    // snap the tile up so the MASS slice length tileSize+size-2 lands
-    // exactly on a power of two: a 16k tile with a 1k snippet otherwise
-    // yields 17406-point slices that pad to 32768 — half of every
-    // transform spent on padding
-    val tileEff = graft.kernels.Fft.fastLength(tileSize + size - 2) - (size - 2)
     val spark = series.sparkSession
     import spark.implicits._
 
-    // fraction denominator per conversation: padlen - size
+    // fraction denominator (padlen - size) and the unpadded length (for
+    // the neighbor cap maxIndex = n - size) per conversation
     val meta = series.map { s =>
       val padlen = (size * math.ceil(s.values.length.toDouble / size)).toInt
-      (s.conv_id, padlen)
-    }.toDF("conv_id", "padlen")
+      (s.conv_id, padlen, s.values.length)
+    }.toDF("conv_id", "padlen", "n")
 
     // spread group tasks over many more partitions than the session's
     // shuffle default: a handful of heavy (candidate, group) keys hashed
     // into cpus*2 buckets serializes several multi-second kernels into one
     // task and stalls the stage on stragglers
     val groupParts = spark.sparkContext.defaultParallelism * 8
-    val chunks = series.flatMap(s => tileGen(s, size, tileEff, tilesPerTask))
+    val chunks = series.flatMap(s => tileGen(s, size, tileSize, tilesPerTask))
       .repartition(groupParts, $"conv_id", $"ci", $"g0")
-      .flatMap(t => groupChunks(t, w, size, tileEff))
+      .flatMap(t => groupChunks(t, w, size, tileSize))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // greedy rounds: winners per conversation, running elementwise minima
@@ -171,39 +180,47 @@ object DistributedSnippets {
       winners = if (winners == null) wr else winners.union(wr)
     }
 
-    // fraction accounting (Snippets.select's sequential mask bookkeeping):
-    // per (conv, t0) group the picked chunks in rank order plus the final
-    // minima (== totalMin), count mask hits, subtracting 1.0 per prior mask
+    // fraction + neighbor accounting (Snippets.select's sequential mask
+    // bookkeeping): per (conv, t0) group the picked chunks in rank order
+    // plus the final minima (== totalMin), record mask hits (count + the
+    // hit offsets, globalized by t0), subtracting 1.0 per prior mask
     val pickedAll = chunks.toDF().join(broadcast(winners), Seq("conv_id", "ci"))
       .select($"conv_id", $"t0", $"rank", $"dv")
     val withTotal = pickedAll.unionByName(
       minis.select($"conv_id", $"t0", lit(0).as("rank"), $"m".as("dv")))
-    val counts = withTotal.as[(String, Int, Int, Array[Double])]
+    val masks = withTotal.as[(String, Int, Int, Array[Double])]
       .groupByKey { case (conv, t0, _, _) => (conv, t0) }
       .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Int, Array[Double])]) =>
-        val conv = key._1
+        val (conv, t0) = key
         val rows = it.toArray.sortBy(_._3) // rank 0 = totalMin, then picks
         val tm = rows.head._4.clone()
         rows.tail.iterator.map { case (_, _, rank, dv) =>
-          var cnt = 0L
+          val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
           var j = 0
           while (j < dv.length) {
-            if (dv(j) <= tm(j)) { cnt += 1; tm(j) -= 1.0 }
+            if (dv(j) <= tm(j)) { hits += (t0.toLong + j); tm(j) -= 1.0 }
             j += 1
           }
-          (conv, rank, cnt)
+          (conv, rank, hits.length.toLong, hits.toArray)
         }
       }
-      .toDF("conv_id", "rank", "cnt")
-      .groupBy($"conv_id", $"rank").agg(sum($"cnt").as("cnt"))
+      .toDF("conv_id", "rank", "cnt", "nbrs")
+    val counts = masks
+      .groupBy($"conv_id", $"rank").agg(sum($"cnt").as("cnt"),
+        array_sort(flatten(collect_list($"nbrs"))).as("allhits"))
 
-    val out = counts
+    counts
       .join(winners, Seq("conv_id", "rank"))
       .join(broadcast(meta), Seq("conv_id"))
+      .withColumn("max_index", ($"n" - size).cast("long"))
+      .withColumn("nb0", filter($"allhits", j => j <= $"max_index"))
       .select($"conv_id", $"rank",
         ($"ci".cast("long") * size).as("index"),
-        ($"cnt".cast("double") / ($"padlen" - size)).as("fraction"))
-      .as[SnippetRow]
-    out
+        ($"cnt".cast("double") / ($"padlen" - size)).as("fraction"),
+        // ref snippets.py:116-118: a qualifying final offset pulls in the
+        // ragged tail positions maxIndex+1 .. n-1
+        when(array_contains($"nb0", $"max_index"),
+          concat($"nb0", sequence($"max_index" + 1, $"n".cast("long") - 1)))
+          .otherwise($"nb0").as("neighbors"))
   }
 }

@@ -67,13 +67,9 @@ object Mass2 {
       threshold: Double = DefaultThreshold): (Array[Double], Array[Double]) =
     mass2Both(prep, prepareQuery(query, prep.p), threshold)
 
-  /** Real MASS2 profile with both sides prepared (requires matching padded
+  /** MASS2 profile with both sides prepared (requires matching padded
     * lengths). Values identical to the one-shot path: same transforms.
     */
-  def mass2BothReal(prep: PreparedTs, pq: PreparedQuery,
-      threshold: Double = DefaultThreshold): Array[Double] =
-    mass2Both(prep, pq, threshold)._1
-
   def mass2Both(prep: PreparedTs, pq: PreparedQuery,
       threshold: Double = DefaultThreshold): (Array[Double], Array[Double]) = {
     val plen = prep.n - pq.m + 1
@@ -82,16 +78,6 @@ object Mass2 {
     compute(prep, pq, threshold, new Array[Double](2 * prep.p), re, im)
     (re, im)
   }
-
-  /** Real MASS2 profile into `out` (length >= n-m+1), reusing `zBuf`
-    * (length 2·prep.p) as the convolution scratch — the allocation-free
-    * path for tile tasks issuing hundreds of rows per task. Values are
-    * identical to [[mass2BothReal]]'s.
-    */
-  def mass2BothRealInto(prep: PreparedTs, pq: PreparedQuery,
-      zBuf: Array[Double], out: Array[Double],
-      threshold: Double = DefaultThreshold): Unit =
-    compute(prep, pq, threshold, zBuf, out, null)
 
   private def compute(prep: PreparedTs, pq: PreparedQuery, threshold: Double,
       z: Array[Double], re: Array[Double], im: Array[Double]): Unit = {

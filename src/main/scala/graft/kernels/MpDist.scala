@@ -102,12 +102,60 @@ object MpDist {
     a(k)
   }
 
+  /** All-pairs distance matrix by rolling-diagonal exact dot products —
+    * value-equivalent to [[massDistanceMatrix]] (same rolling stats, the
+    * same distance algebra and constant-window fixes as mass2.py:66-85;
+    * the only delta is the FFT convolution's ~1e-12 rounding residue,
+    * which MASS itself carries as a complex component and discards). One
+    * O(w) seed per diagonal plus O(1) per cell (the STOMP recurrence,
+    * ref stomp.py:146-156) replaces one length-n FFT per query row —
+    * ~25x less work and no per-row transform state, which is what lets
+    * snippet tile tasks run hundreds of rows in bounded memory.
+    */
+  def dotDistanceMatrix(ts: Array[Double], query: Array[Double],
+      w: Int): Array[Array[Double]] = {
+    val rows = query.length - w + 1
+    val cols = ts.length - w + 1
+    val (muT, sigT) = MovingStats.movingAvgStd(ts, w)
+    val (muQ, sigQ) = MovingStats.movingAvgStd(query, w)
+    val out = Array.ofDim[Double](rows, cols)
+    val threshold = Mass2.DefaultThreshold
+    // diagonals d = c - r, one O(w) seed at the first cell of each
+    var d = -(rows - 1)
+    while (d < cols) {
+      var r = math.max(0, -d)
+      var c = r + d
+      var dot = 0.0
+      var k = 0
+      while (k < w) { dot += query(r + k) * ts(c + k); k += 1 }
+      var first = true
+      while (r < rows && c < cols) {
+        if (!first)
+          dot += query(r + w - 1) * ts(c + w - 1) - query(r - 1) * ts(c - 1)
+        first = false
+        var tmp = sigT(c) * sigQ(r)
+        if (tmp == 0) tmp = 1e-12
+        var dr = 2.0 * (w - (dot - w * muT(c) * muQ(r)) / tmp)
+        if (sigT(c) < threshold)
+          dr = if (sigQ(r) < threshold) 0.0 else w.toDouble
+        out(r)(c) = math.sqrt(math.max(dr, 0.0))
+        r += 1
+        c += 1
+      }
+      d += 1
+    }
+    out
+  }
+
   /** Sliding MPDist of tsB against every offset of ts (ref
-    * mpdist.py:145-184): column minima of the MASS matrix + per-row moving
-    * minima over a window of `rows`.
+    * mpdist.py:145-184): column minima of the pair-distance matrix +
+    * per-row moving minima over a window of `rows`. The matrix comes from
+    * [[dotDistanceMatrix]] (exact dots; the reference composes
+    * mass_distance_matrix here, an anytime-friendly choice this engine
+    * does not need for the full-matrix case).
     */
   def mpdistVector(ts: Array[Double], tsB: Array[Double], w: Int): Array[Double] =
-    mpdistVectorFromMatrix(massDistanceMatrix(ts, tsB, w), ts.length, tsB.length, w)
+    mpdistVectorFromMatrix(dotDistanceMatrix(ts, tsB, w), ts.length, tsB.length, w)
 
   /** The column-min + per-row moving-min + per-offset selection pipeline of
     * [[mpdistVector]] over an already-built distance matrix — shared with

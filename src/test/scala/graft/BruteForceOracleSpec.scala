@@ -133,6 +133,42 @@ class BruteForceOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("BruteMp.pmpMotifs (q34's SQL-replayable twin) selects exactly what " +
+      "TopK.pmpTopKMotifs selects on random quantized series") {
+    import graft.kernels.{BruteMp, TopK}
+    val rng = new java.util.Random(1234)
+    val windows = Array(8, 12, 16)
+    for (trial <- 0 until 40) {
+      val n = 40 + rng.nextInt(200)
+      // quantized like the driver queries: round(value * 1e4) over ~[0, 50)
+      val vi = Array.fill(n)(math.round(rng.nextDouble() * 50 * 10000.0))
+      val elig = windows.filter(w => n >= graft.queries.MpQueries.minN(w))
+      if (elig.nonEmpty) {
+        val picks = BruteMp.pmpMotifs(vi, elig, k = 2, maxNeighbors = 2)
+        val profiles = elig.map(w => BruteMp.selfProfile(vi, w))
+        val profileLen = profiles.map(_.mp.length).max
+        val pmp = profiles.map { p =>
+          val row = Array.fill(profileLen)(Double.PositiveInfinity)
+          System.arraycopy(p.mp, 0, row, 0, p.mp.length); row
+        }
+        val pmpi = profiles.map { p =>
+          val row = Array.fill(profileLen)(-1L)
+          p.pi.indices.foreach(i => row(i) = p.pi(i).toLong); row
+        }
+        val kern = TopK.pmpTopKMotifs(vi.map(_.toDouble), pmp, pmpi, elig,
+          None, k = 2, maxNeighbors = 2)
+        assert(kern.length == picks.length, s"trial=$trial n=$n pick counts")
+        kern.zip(picks).foreach { case (km, bp) =>
+          assert(km.motifs._1._1 == bp.row && km.motifs._1._2 == bp.a.toLong &&
+            km.motifs._2._2 == bp.b.toLong,
+            s"trial=$trial n=$n pick ${km.motifs} vs $bp")
+          assert(km.neighbors.map(_._2).toSeq == bp.neighbors.map(_.toLong),
+            s"trial=$trial n=$n neighbors")
+        }
+      }
+    }
+  }
+
   test("oracle agreement holds with spikes and near-constant segments") {
     val rng = new java.util.Random(42)
     val ts = Array.tabulate(150) { i =>

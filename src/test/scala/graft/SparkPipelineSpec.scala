@@ -169,6 +169,21 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"$conv rank=${g.rank}: ${g.fraction} vs ${e.fraction}")
       }
     }
+    // the neighbor variant reproduces the kernel's neighbor lists exactly
+    // (incl. the ragged-tail extension), assembled relationally
+    val withNbrs = graft.dist.DistributedSnippets
+      .snippetsWithNeighbors(ds, size, numSnippets = 2, tileSize = 128)
+      .collect().groupBy(_.conv_id)
+    for ((conv, vals) <- Seq(("sa", a), ("sb", b))) {
+      val expect = graft.kernels.Snippets.snippets(vals, size, 2)
+      val got = withNbrs(conv).sortBy(_.rank)
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.index == e.index)
+        assert(g.neighbors.toSeq == e.neighbors.toSeq,
+          s"$conv rank=${g.rank}: neighbor lists differ " +
+            s"(${g.neighbors.length} vs ${e.neighbors.length})")
+      }
+    }
   }
 
   test("q12/q28 select top-k series inside the plan (agg+limit+broadcast, " +
