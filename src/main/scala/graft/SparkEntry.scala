@@ -209,6 +209,25 @@ object SparkEntry {
         .select($"query_id", $"n_hits")
     }),
 
+    "q35_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir).select($"vec_id", $"embedding")
+      // the oracle hardcodes dim=64 (range(64) per-dim sums) like q24/q25
+      val dim = Similarity.vecDim(e, "embedding")
+      require(dim == 64, s"OracleSqlGen.q35 assumes dim=64 but embeddings " +
+        s"have dim=$dim — regenerate the oracle with q35(dim = $dim)")
+      val q = e.where($"vec_id" < 20)
+      val brute = Similarity.bruteForceTopK(e, q, 10)
+        .select($"query_id", $"neighbor_id")
+      val approx = Similarity.ivfTopK(e, q, 10)
+        .select($"query_id".as("aq"), $"neighbor_id".as("an"))
+      brute.join(approx, brute("query_id") === $"aq" && brute("neighbor_id") === $"an",
+          "left")
+        .groupBy($"query_id")
+        .agg(count($"an").as("n_hits"))
+        .select($"query_id", $"n_hits")
+    }),
+
     "q25_embedding_dups" -> ((s, dir) => {
       import s.implicits._
       // the synthetic corpus has no natural near-dups (max off-diagonal
@@ -370,6 +389,7 @@ object SparkEntry {
     "q33_dedup_pipeline" -> OracleSqlGen.q33(),
     "q22_fingerprint" -> OracleSqlGen.q22,
     "q24_ann_lsh_recall" -> OracleSqlGen.q24(),
+    "q35_ann_ivf" -> OracleSqlGen.q35(),
     "q25_embedding_dups" -> OracleSqlGen.q25(),
     "q27_multimodal_features" -> OracleSqlGen.q27,
     "q28_ab_join" -> OracleSqlGen.q28(),

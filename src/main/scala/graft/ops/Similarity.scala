@@ -95,6 +95,90 @@ object Similarity {
     df.withColumn("bkey", explode(array(keys: _*)))
   }
 
+  /** Squared L2 distance between a quantized integer vector column and a
+    * double centroid column — strict left fold in dim order, so the
+    * oracle's list_reduce replays it bit-for-bit.
+    */
+  private def d2(qv: Column, cent: Column): Column =
+    aggregate(zip_with(qv, cent,
+      (v, c) => (v.cast("double") - c) * (v.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Assign each row to its nearest centroid (ties to the lowest cell):
+    * input must carry `qv`; centroids (cell, cent) are broadcast.
+    */
+  private def assignCells(vecs: DataFrame, cents: DataFrame,
+      idCol: String): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("dd", d2($"qv", $"cent"))
+      .groupBy(col(idCol))
+      .agg(min(struct($"dd", $"cell")).as("m"))
+      .select(col(idCol), $"m.cell".as("cell"))
+
+  /** Deterministic IVF coarse quantizer — the inverted-file ANN scale
+    * path (vs hyperplane LSH): `kCells` cells from one unrolled Lloyd's
+    * iteration over integer-quantized vectors (round(x·1e4)), seeded by
+    * the kCells lowest-id vectors. Integer per-dim sums make the centroid
+    * means exactly reproducible in SQL (the same reason the MP oracles
+    * quantize); every distance is a strict left fold. Returns
+    * (cells: (idCol, cell), centroids: (cell, cent: Array[Double])).
+    */
+  def ivfCells(embeds: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", kCells: Int = 8): (DataFrame, DataFrame) = {
+    val vecs = embeds.select(col(idCol),
+      transform(col(vecCol), x => round(x.cast("double") * 10000, 0).cast("long"))
+        .as("qv"))
+    val byId = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val c0 = vecs.orderBy(col(idCol)).limit(kCells)
+      .withColumn("cell", row_number().over(byId) - 1)
+      .select($"cell", transform($"qv", v => v.cast("double")).as("cent"))
+    val a1 = assignCells(vecs, c0, idCol)
+    // Lloyd update: per-dim integer sums -> double means (one shared
+    // division expression per component in both engines)
+    val c1 = a1.join(vecs, Seq(idCol))
+      .select($"cell", posexplode($"qv").as(Seq("pos", "v")))
+      .groupBy($"cell", $"pos")
+      .agg(sum($"v").as("s"), count(lit(1)).as("cnt"))
+      .groupBy($"cell")
+      .agg(sort_array(collect_list(struct($"pos",
+        ($"s".cast("double") / $"cnt").as("comp")))).as("pc"))
+      .select($"cell", transform($"pc", p => p.getField("comp")).as("cent"))
+    (assignCells(vecs, c1, idCol), c1)
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
+    * rank candidates within them by exact cosine. Same output schema as
+    * bruteForceTopK.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      kCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val (cells, cents) = ivfCells(corpus, idCol, vecCol, kCells)
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
+      transform(col(vecCol), x => round(x.cast("double") * 10000, 0).cast("long"))
+        .as("qv"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"dd".asc, $"cell".asc)
+    val probes = qv.crossJoin(broadcast(cents))
+      .withColumn("dd", d2($"qv", $"cent"))
+      .withColumn("rn", row_number().over(pw))
+      .where($"rn" <= nprobe)
+      .select($"query_id", $"q_v", $"cell")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"))
+    val cands = probes.join(cells.select($"cell", col(idCol).as("neighbor_id")),
+        Seq("cell"))
+      .where($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"q_v", $"neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cosine", cosine($"q_v", $"c_v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", round($"cosine", 4).as("cosine"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket under any
     * of `tables` hyperplane sets. Returns the same schema as
     * bruteForceTopK (ranks within retrieved candidates).

@@ -769,6 +769,74 @@ SELECT b.query_id, count(l.neighbor_id)::BIGINT AS n_hits
 FROM brute b LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
 GROUP BY 1"""
 
+  /** Strict left fold of squared L2 between a quantized BIGINT vector and
+    * a double centroid — the SQL twin of Similarity's d2 fold.
+    */
+  private def d2Sql(qv: String, cent: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($qv, $cent), " +
+      s"z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))), (a, b) -> a + b)"
+
+  /** q35: IVF ANN recall — the inverted-file coarse quantizer replayed
+    * end-to-end (Similarity.ivfCells/ivfTopK): quantized vectors, seed
+    * centroids = the kCells lowest ids, one Lloyd iteration (argmin
+    * assignment with ties to the lowest cell; per-dim integer sums →
+    * double means), final assignment, nprobe nearest-cell probing, exact
+    * cosine ranking inside the probed cells, and hit counts vs the brute
+    * top-k.
+    */
+  def q35(k: Int = 10, kCells: Int = 8, nprobe: Int = 2, dim: Int = 64): String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+qvv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 10000)::BIGINT) AS qv FROM e),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(qv, v -> v::DOUBLE) AS cent
+  FROM (SELECT vec_id, qv FROM qvv ORDER BY vec_id LIMIT $kCells)),
+a1 AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d2Sql("q.qv", "c.cent")} ASC, c.cell ASC) AS rn
+    FROM qvv q CROSS JOIN c0 c) WHERE rn = 1),
+u1 AS (
+  SELECT a.cell, r.range AS pos, sum(q.qv[r.range + 1])::BIGINT AS s, count(*) AS cnt
+  FROM a1 a JOIN qvv q ON a.vec_id = q.vec_id CROSS JOIN range($dim) r
+  GROUP BY 1, 2),
+c1 AS MATERIALIZED (SELECT cell, list(s::DOUBLE / cnt ORDER BY pos) AS cent FROM u1 GROUP BY cell),
+a2 AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d2Sql("q.qv", "c.cent")} ASC, c.cell ASC) AS rn
+    FROM qvv q CROSS JOIN c1 c) WHERE rn = 1),
+p1 AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d2Sql("q.qv", "c.cent")} ASC, c.cell ASC) AS rn
+    FROM qvv q CROSS JOIN c1 c WHERE q.vec_id < 20) WHERE rn <= $nprobe),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM p1 p JOIN a2 a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, ${cosSql("eq.embedding", "ec.embedding")} AS cos
+  FROM cand c JOIN e eq ON eq.vec_id = c.query_id JOIN e ec ON ec.vec_id = c.neighbor_id),
+ivf AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM scored) WHERE rn <= $k),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+bs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ${cosSql("q.embedding", "c.embedding")} AS cos
+  FROM e c, q WHERE c.vec_id <> q.vec_id),
+brute AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM bs) WHERE rn <= $k)
+SELECT b.query_id, count(l.neighbor_id)::BIGINT AS n_hits
+FROM brute b LEFT JOIN ivf l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY 1"""
+
   /** q25: embedding near-dups over the base corpus + 20 planted
     * near-copies (one component +0.25f) — same planting, hyperplanes,
     * candidate join, and verify threshold as the Spark side.
