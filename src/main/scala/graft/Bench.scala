@@ -143,8 +143,10 @@ object Bench {
     // pipeline legs: rep 1 is the round-over-round-comparable cold number
     // (identical harness to r01-r03); further reps give the warm best
     val pipelineReps = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPS", "2").toInt
-    val pipeRuns = (1 to math.max(1, pipelineReps)).map { _ =>
-      val r = pipelineBench(spark, benchConvs, turnsScale)
+    val pipeRuns = (1 to math.max(1, pipelineReps)).map { i =>
+      // the generic-rollup comparison leg informs plan choice, not warm
+      // timing — run it once
+      val r = pipelineBench(spark, benchConvs, turnsScale, withGeneric = i == 1)
       spark.catalog.clearCache()
       r
     }

@@ -168,5 +168,18 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val recall = brute.count(lsh.contains).toDouble / brute.size
     assert(recall >= 0.7, s"ANN LSH recall $recall < 0.7 on clustered data")
+
+    // IVF on the same clustered corpus: nprobe = kCells probes every cell,
+    // so the candidate set is the whole corpus and the top-k must equal
+    // brute force EXACTLY (the IVF-specific machinery reduces to a
+    // partitioned re-ranking); a 1-cell probe on clustered data still
+    // recovers most of the top-k
+    val ivfAll = Similarity.ivfTopK(df, q, 5, kCells = 8, nprobe = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfAll == brute, "nprobe=kCells IVF must equal brute force")
+    val ivf1 = Similarity.ivfTopK(df, q, 5, kCells = 8, nprobe = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = brute.count(ivf1.contains).toDouble / brute.size
+    assert(ivfRecall >= 0.7, s"IVF nprobe=1 recall $ivfRecall < 0.7 on clustered data")
   }
 }
