@@ -125,9 +125,13 @@ object Similarity {
     */
   def ivfCells(embeds: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", kCells: Int = 8): (DataFrame, DataFrame) = {
+    // the quantized projection feeds the seed, both assignment rounds and
+    // the Lloyd update — persist it so the corpus scans once, not per
+    // consumer (same cache lifecycle as the Dedup signature stages)
     val vecs = embeds.select(col(idCol),
       transform(col(vecCol), x => round(x.cast("double") * 10000, 0).cast("long"))
         .as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byId = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
     val c0 = vecs.orderBy(col(idCol)).limit(kCells)
       .withColumn("cell", row_number().over(byId) - 1)
