@@ -78,4 +78,20 @@ class LedgerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b1 = rows.find(r => r.stage == "b" && r.inputVersion == "v1").get
     assert(b1.rowsIn == 10L && b1.rowsOut == 5L)
   }
+
+  test("PipelineMain kill-resume: a run crashed mid-pipeline resumes to " +
+      "outputs content-identical to an uninterrupted run") {
+    import graft.run.{PipelineMain, ResumeBench}
+    val out = java.nio.file.Files.createTempDirectory("graft_killresume").toString
+    PipelineMain.run(spark, 15, s"$out/fresh", 16, resume = false)
+    intercept[PipelineMain.SimulatedCrash] {
+      PipelineMain.run(spark, 15, s"$out/killed", 16, resume = false,
+        abortAfter = Some("series_points"))
+    }
+    PipelineMain.run(spark, 15, s"$out/killed", 16, resume = true)
+    for (stage <- Seq("series_points", "profiles", "discovery"))
+      assert(ResumeBench.contentHash(spark, s"$out/fresh/$stage") ==
+        ResumeBench.contentHash(spark, s"$out/killed/$stage"),
+        s"stage $stage differs after resume")
+  }
 }

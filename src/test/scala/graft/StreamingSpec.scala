@@ -95,6 +95,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_._1).distinct.length == streamed.length)
   }
 
+  test("leftProfileScores diagonal recurrence matches a direct O(H*w) " +
+      "evaluation (seeded rolling dots stay within 1e-9)") {
+    val w = 16
+    var h = 99L
+    var acc = 0.0
+    val vals = Array.fill(600) {
+      h = graft.ingest.TranscriptGen.splitmix64(h)
+      acc += (h & 0xffff).toDouble / 65536.0 - 0.5
+      acc
+    }
+    def direct(all: Array[Double], from: Int): Seq[(Int, Double)] = {
+      val plen = all.length - w + 1
+      val minlag = math.ceil(w / 4.0).toInt
+      val (mu, sig) = graft.kernels.MovingStats.muinvn(all, w)
+      (from until plen).map { i =>
+        val jEnd = i - minlag - 1
+        if (jEnd < 0) (i, Double.PositiveInfinity)
+        else {
+          var best = -1.0
+          for (j <- 0 to jEnd) {
+            var dot = 0.0
+            for (k <- 0 until w) dot += all(i + k) * all(j + k)
+            val corr = (dot - w * mu(i) * mu(j)) * sig(i) * sig(j)
+            if (corr > best) best = corr
+          }
+          (i, math.sqrt(math.max(2.0 * w * (1.0 - math.min(best, 1.0)), 0.0)))
+        }
+      }
+    }
+    for (from <- Seq(0, 100, 550)) {
+      val fast = StreamingRollup.leftProfileScores(vals, w, from)
+      val slow = direct(vals, from)
+      assert(fast.length == slow.length)
+      fast.zip(slow).foreach { case ((i1, d1), (i2, d2)) =>
+        assert(i1 == i2)
+        assert((d1.isInfinite && d2.isInfinite) || math.abs(d1 - d2) < 1e-9,
+          s"from=$from pos=$i1: $d1 vs $d2")
+      }
+    }
+  }
+
   test("streaming left profile rejects cross-batch late arrivals: " +
       "incremental == batch over the accepted in-order stream") {
     import spark.implicits._
