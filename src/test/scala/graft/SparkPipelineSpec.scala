@@ -218,6 +218,46 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a bucketed+sorted table (the 100 TB layout) feeds the zero-shuffle " +
+      "colocated rollup straight from storage") {
+    import spark.implicits._
+    val transcripts = TranscriptGen.generate(spark, 30)
+    val raw = transcripts.select($"conv_id", lit("token_len_t").as("kind"),
+      unix_micros($"ts").as("bucket"), length($"text").cast("double").as("value"))
+      .as[SeriesPoint]
+    // destroy any incidental clustering, then write the engine's scale
+    // layout: bucket(conv_id) with one file per bucket (repartition by the
+    // same hash the bucketing uses) sorted by (conv_id, kind, bucket) —
+    // the parquet stand-in for the Iceberg bucket(conv_id) table
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    raw.orderBy(rand(7)).repartition(8, $"conv_id")
+      .write.bucketBy(8, "conv_id").sortBy("conv_id", "kind", "bucket")
+      .option("path", s"$dir/points_bucketed")
+      .mode("overwrite").saveAsTable("points_bucketed")
+    try {
+      val scanned = spark.table("points_bucketed").as[SeriesPoint]
+      val colocated = Rollup.rollupAllColocated(scanned)
+      // no exchange anywhere: the layout, not a shuffle, provides locality
+      val plan = colocated.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"colocated rollup over the bucketed table must not shuffle:\n$plan")
+      val genericBy = (d: org.apache.spark.sql.Dataset[TierAgg]) =>
+        d.collect().map(t => (t.conv_id, t.kind, t.tier, t.bucket) -> t).toMap
+      val got = genericBy(colocated)
+      val m1 = Rollup.rollupRaw(raw, "1m")
+      val want = genericBy(m1.union(Rollup.rollupTier(m1, "1h"))
+        .union(Rollup.rollupTier(Rollup.rollupTier(m1, "1h"), "1d")))
+      assert(got.keySet == want.keySet,
+        s"bucket sets differ: ${got.size} vs ${want.size}")
+      got.foreach { case (k, g) =>
+        val w = want(k)
+        assert(g.cnt == w.cnt && g.min == w.min && g.max == w.max &&
+          g.first == w.first && g.last == w.last, s"$k: $g vs $w")
+        assert(math.abs(g.sum - w.sum) < 1e-6, s"$k: sum ${g.sum} vs ${w.sum}")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS points_bucketed")
+  }
+
   test("dedup builders are one-action: construction runs zero jobs and the " +
       "bucket-cap count arrives via observe() on the query's own action") {
     import spark.implicits._
