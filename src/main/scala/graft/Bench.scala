@@ -151,8 +151,11 @@ object Bench {
       r
     }
     val (nPoints, rolled, nSubseq, rollupSec, genericSec, mpSec) = pipeRuns.head
-    val rollupWarm = pipeRuns.map(_._4).min
-    val mpWarm = pipeRuns.map(_._6).min
+    // warm = best of the post-cold reps only; with a single rep there is
+    // no warm measurement, so fall back to the cold number explicitly
+    val warmRuns = if (pipeRuns.length > 1) pipeRuns.tail else pipeRuns
+    val rollupWarm = warmRuns.map(_._4).min
+    val mpWarm = warmRuns.map(_._6).min
     val pointsPerSec = nPoints / rollupSec
     val pointsPerSecGeneric = nPoints / genericSec
     val subseqPerSec = nSubseq / mpSec

@@ -100,7 +100,8 @@ object DistributedSnippets {
       tilesPerTask: Int = 4): Dataset[SnippetRow] = {
     val spark = series.sparkSession
     import spark.implicits._
-    core(series, size, numSnippets, windowSize0, tileSize, tilesPerTask)
+    core(series, size, numSnippets, windowSize0, tileSize, tilesPerTask,
+        withNeighbors = false)
       .select($"conv_id", $"rank", $"index", $"fraction")
       .as[SnippetRow]
   }
@@ -117,12 +118,14 @@ object DistributedSnippets {
       tilesPerTask: Int = 4): Dataset[SnippetNbrRow] = {
     val spark = series.sparkSession
     import spark.implicits._
-    core(series, size, numSnippets, windowSize0, tileSize, tilesPerTask)
+    core(series, size, numSnippets, windowSize0, tileSize, tilesPerTask,
+        withNeighbors = true)
       .as[SnippetNbrRow]
   }
 
   private def core(series: Dataset[SeriesRow], size: Int, numSnippets: Int,
-      windowSize0: Int, tileSize: Int, tilesPerTask: Int): DataFrame = {
+      windowSize0: Int, tileSize: Int, tilesPerTask: Int,
+      withNeighbors: Boolean): DataFrame = {
     require(size >= 4, "snippet_size must be an integer >= 4")
     require(tilesPerTask >= 1, "tilesPerTask must be >= 1")
     val w = if (windowSize0 > 0) windowSize0 else math.floor(size / 2.0).toInt
@@ -195,13 +198,23 @@ object DistributedSnippets {
         val rows = it.toArray.sortBy(_._3) // rank 0 = totalMin, then picks
         val tm = rows.head._4.clone()
         rows.tail.iterator.map { case (_, _, rank, dv) =>
-          val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
+          // hit offsets materialize only for the neighbors output; the
+          // fraction-only path carries just the count
+          val hits =
+            if (withNeighbors) new scala.collection.mutable.ArrayBuffer[Long]()
+            else null
+          var cnt = 0L
           var j = 0
           while (j < dv.length) {
-            if (dv(j) <= tm(j)) { hits += (t0.toLong + j); tm(j) -= 1.0 }
+            if (dv(j) <= tm(j)) {
+              cnt += 1
+              if (hits != null) hits += (t0.toLong + j)
+              tm(j) -= 1.0
+            }
             j += 1
           }
-          (conv, rank, hits.length.toLong, hits.toArray)
+          (conv, rank, cnt,
+            if (hits != null) hits.toArray else Array.empty[Long])
         }
       }
       .toDF("conv_id", "rank", "cnt", "nbrs")

@@ -209,8 +209,17 @@ object BruteMp {
     * can matter.
     */
   def pmpMotifs(v: Array[Long], windows: Array[Int], k: Int = 2,
-      maxNeighbors: Int = 2, radius: Double = 3.0): Seq[PmpMotifPick] = {
-    val profiles = windows.map(w => selfProfile(v, w))
+      maxNeighbors: Int = 2, radius: Double = 3.0): Seq[PmpMotifPick] =
+    pmpMotifs(v, windows, windows.map(w => selfProfile(v, w)), k,
+      maxNeighbors, radius)
+
+  /** As above with the per-window profiles precomputed — q34 feeds the
+    * same profiles to the real kernel's agreement check, and the brute
+    * self-join is the quadratic part of the query.
+    */
+  def pmpMotifs(v: Array[Long], windows: Array[Int],
+      profiles: Array[SelfResult], k: Int, maxNeighbors: Int,
+      radius: Double): Seq[PmpMotifPick] = {
     val tmp = profiles.map(_.mp.clone())
     val (s1s, s2s) = windows.map(w => windowSums(v, w)).unzip
     val picks = scala.collection.mutable.ArrayBuffer.empty[PmpMotifPick]

@@ -33,8 +33,9 @@ object Mass2 {
   }
 
   /** Per-query state reusable across every PreparedTs with the same padded
-    * length p (DistributedSnippets shares one candidate's query transforms
-    * across all its offset tiles).
+    * length p. (Snippet tiles no longer use this — MpDist.dotDistanceMatrix
+    * replaced per-row MASS there; it remains the shared-transform half of
+    * the one-shot mass2 path.)
     */
   final class PreparedQuery(val query: Array[Double], val p: Int) {
     val m: Int = query.length

@@ -57,7 +57,8 @@ object Dedup {
     */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String],
       maxBucket: Int, what: String): DataFrame = {
-    if (maxBucket <= 0) return banded // explicit opt-out: uncapped
+    if (maxBucket <= 0) // explicit opt-out: uncapped, but still forked twice
+      return banded.persist(StorageLevel.MEMORY_AND_DISK)
     val acc = CapBucketsLog.accumulatorFor(banded.sparkSession, what, maxBucket)
     val mark = udf(() => { acc.add(1L); true }).asNondeterministic()
     val over = banded.groupBy(keyCols.map(col): _*)
@@ -375,7 +376,9 @@ private[graft] object CapBucketsLog {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Entry]()
 
-  /** Last-known oversized-bucket count for `what` (diagnostics/tests). */
+  /** Last-known oversized-bucket count for `what`, max across live
+    * sessions (diagnostics/tests only — production consumers read the log).
+    */
   def lastOverCount(what: String): Option[Long] = {
     import scala.jdk.CollectionConverters._
     entries.asScala.collect { case ((_, w), e) if w == what => e.acc.value.longValue }
@@ -383,12 +386,17 @@ private[graft] object CapBucketsLog {
   }
 
   def accumulatorFor(spark: SparkSession, what: String,
-      maxBucket: Int): org.apache.spark.util.LongAccumulator =
+      maxBucket: Int): org.apache.spark.util.LongAccumulator = {
+    // evict entries of stopped sessions so repeated session lifecycles
+    // (tests, notebooks) don't accumulate accumulators + listeners
+    entries.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    sessions.removeIf(s => s.sparkContext.isStopped)
     entries.computeIfAbsent((spark, what), { key =>
       registerListener(spark)
       new Entry(spark.sparkContext.longAccumulator(s"graft.capBuckets.$what"),
         maxBucket)
     }).acc
+  }
 
   private val sessions = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())

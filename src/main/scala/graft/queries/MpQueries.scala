@@ -266,10 +266,11 @@ object MpQueries {
       val elig = windows.filter(w => q.vi.length >= minN(w))
       if (elig.isEmpty) Iterator.empty
       else {
-        val picks = BruteMp.pmpMotifs(q.vi, elig, k = 2, maxNeighbors = 2)
-        // the real kernel on the same brute PMP (rows padded to the
-        // longest profile, as the kernel expects)
+        // one brute PMP shared by the twin selection and the kernel's
+        // agreement check (the self-join is the quadratic part)
         val profiles = elig.map(w => BruteMp.selfProfile(q.vi, w))
+        val picks = BruteMp.pmpMotifs(q.vi, elig, profiles, k = 2,
+          maxNeighbors = 2, radius = 3.0)
         val profileLen = profiles.map(_.mp.length).max
         val pmp = profiles.map { p =>
           val row = Array.fill(profileLen)(Double.PositiveInfinity)

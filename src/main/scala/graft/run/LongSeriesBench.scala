@@ -63,8 +63,8 @@ object LongSeriesBench {
 
     if (algo == "stream") {
       // streaming left-profile kernel throughput: a batch of `tile` new
-      // windows arriving on an n-point retained tail (one MASS profile per
-      // new window, fft(tail) shared across the batch)
+      // windows arriving on an n-point retained tail (one FFT seed for the
+      // batch's first row, then the O(1)-per-diagonal STOMP recurrence)
       val from = math.max(0, (n - w + 1) - tile)
       graft.streaming.StreamingRollup.leftProfileScores(values, w, from) // warm
       val t0 = System.nanoTime()

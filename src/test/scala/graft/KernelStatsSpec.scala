@@ -49,6 +49,19 @@ class KernelStatsSpec extends AnyFunSuite {
       Array(0.67640791, 3.43092352, 3.43092352, 0.0, 1.85113597), decimal = 6)
   }
 
+  test("dotDistanceMatrix equals massDistanceMatrix within FFT rounding " +
+      "(the snippet tiles' exact-dot path vs the reference's MASS rows)") {
+    val ts = Array.tabulate(300)(i => math.sin(i * 0.05) * 3 + (i % 11))
+    val query = Array.tabulate(40)(i => math.cos(i * 0.11) * 2 + (i % 5))
+    val w = 12
+    val viaDots = MpDist.dotDistanceMatrix(ts, query, w)
+    val viaMass = MpDist.massDistanceMatrix(ts, query, w)
+    assert(viaDots.length == viaMass.length)
+    for (r <- viaDots.indices; c <- viaDots(r).indices)
+      assert(math.abs(viaDots(r)(c) - viaMass(r)(c)) < 1e-8,
+        s"($r,$c): ${viaDots(r)(c)} vs ${viaMass(r)(c)}")
+  }
+
   test("calculateMpdist quickselect equals the reference sort-then-index " +
       "selection (value-identical k-th order statistic)") {
     val rnd = new scala.util.Random(7)

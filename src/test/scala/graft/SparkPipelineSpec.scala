@@ -259,7 +259,7 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dedup builders are one-action: construction runs zero jobs and the " +
-      "bucket-cap count arrives via observe() on the query's own action") {
+      "bucket-cap accumulator fills in on the query's own action") {
     import spark.implicits._
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -282,8 +282,8 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"building the dedup plan must not run any Spark job (ran ${jobs.get()})")
       df.count() // the single action
     } finally spark.sparkContext.removeSparkListener(listener)
-    // the metric lives on the broadcast-side subtree; assert it reached the
-    // session listener (bus delivery is async)
+    // the accumulator ticks on the broadcast-side aggregation; assert the
+    // count arrived without any extra eager action (delivery is async)
     var tries = 0
     while (!graft.ops.CapBucketsLog.lastOverCount("minhashLsh").exists(_ > 0L)
         && tries < 50) {
