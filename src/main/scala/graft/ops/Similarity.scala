@@ -122,6 +122,14 @@ object Similarity {
     * means exactly reproducible in SQL (the same reason the MP oracles
     * quantize); every distance is a strict left fold. Returns
     * (cells: (idCol, cell), centroids: (cell, cent: Array[Double])).
+    *
+    * Scale shape: assignment is a broadcast nested-loop of the corpus
+    * against kCells centroids — cost n·kCells·dim map-side, no corpus
+    * shuffle; the Lloyd update is one (cell, dim) aggregation. At 100 TB
+    * the standard refinements compose on top without changing the plan
+    * shapes: train the centroids on a sample (the update aggregation over
+    * a `.sample` of the corpus), raise kCells toward √n, and keep the full
+    * corpus pass to the single final assignment.
     */
   def ivfCells(embeds: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", kCells: Int = 8): (DataFrame, DataFrame) = {
