@@ -145,9 +145,11 @@ object SparkEntry {
       import s.implicits._
       documents(s, dir)
         .withColumn("n_tokens", TextOps.tokenCount($"text").cast("long"))
+        .withColumn("n_subwords", TextOps.subwordCount($"text").cast("long"))
         .groupBy($"source")
         .agg(sum($"n_tokens").as("total_tokens"),
-          round(avg($"n_tokens"), 4).as("avg_tokens"))
+          round(avg($"n_tokens"), 4).as("avg_tokens"),
+          sum($"n_subwords").as("total_subwords"))
     }),
 
     "q18_quality_score" -> ((s, dir) => {
@@ -344,7 +346,8 @@ object SparkEntry {
     "q17_token_count" ->
       """SELECT source,
          sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS total_tokens,
-         round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens
+         round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+         sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))::BIGINT AS total_subwords
          FROM documents GROUP BY source""",
 
     "q18_quality_score" ->

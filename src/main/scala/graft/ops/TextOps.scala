@@ -14,11 +14,16 @@ object TextOps {
     */
   def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
 
-  /** BPE-ish subword count: tokens split further on 4-char boundaries —
-    * an upper-bound proxy for BPE token counts (len/4 heuristic).
+  /** BPE-ish subword count: the class-based pretokenization BPE
+    * vocabularies split on — letter runs, single digits, single
+    * non-alphanumeric marks. Deliberately lookaround-free so the Java
+    * regex and the oracle's RE2 (DuckDB regexp_extract_all) agree
+    * match-for-match.
     */
+  val SubwordPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
   def subwordCount(text: Column): Column =
-    (length(text) + lit(3)) / lit(4)
+    size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
 
   /** Quality features per document, all codegen'd. */
   def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
@@ -65,15 +70,4 @@ object TextOps {
     aggregate(split(trim(text), "\\s+"), lit("graft"),
       (acc, tok) => md5(concat(acc, lit("|"), tok)))
 
-  /** k-shingles (word n-grams) of a document as an array of 64-bit hashes. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val n = size(toks)
-    // slide a window of k over the token array; empty when fewer than k
-    filter(
-      transform(sequence(lit(0), greatest(n - lit(k), lit(0))),
-        i => when(i <= n - lit(k), xxhash64(concat_ws(" ",
-          slice(toks, i + 1, lit(k)))))),
-      x => x.isNotNull)
-  }
 }
