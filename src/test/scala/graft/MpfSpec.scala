@@ -191,8 +191,11 @@ class MpfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.mp.get.data.toSeq == Seq(0.25, 0.5, 1.0))
     assert(m.pi.get.data.toSeq == Seq(2L, 0L, 1L))
     assert(o.avType == "default")
-    // and the canonical re-encode of the decoded message round-trips
-    val rt = Mpf.fromBytes(Mpf.toBytes(o))
+    // and the canonical re-encode of the decoded message round-trips,
+    // through the single-file convenience pair as well
+    val tmp = java.nio.file.Files.createTempFile("graft_mpf", ".mpf").toString
+    Mpf.writeFile(tmp, o)
+    val rt = Mpf.readFile(tmp)
     assert(rt.klass == o.klass && rt.windows == o.windows &&
       rt.samplePct == o.samplePct && rt.avType == o.avType)
     assert(rt.mp.get.ez == 2 &&
