@@ -61,6 +61,25 @@ object SparkEntry {
         round($"min", 6).as("min_v"), round($"max", 6).as("max_v"))
     }),
 
+    // the 100 TB headline plan under the driver's oracle: the same 1h
+    // aggregates as q02, but through the fused zero-shuffle colocated
+    // path (one repartition+sort stands in for the bucket(conv_id) table
+    // layout; from there the plan is exchange-free)
+    "q36_rollup_colocated" -> ((s, dir) => {
+      import s.implicits._
+      val pts = events(s, dir).select($"user_id".cast("string").as("conv_id"),
+        lit("v").as("kind"), unix_micros($"ts".cast("timestamp")).as("bucket"), $"value")
+        .as[SeriesPoint]
+        .repartition($"conv_id")
+        .sortWithinPartitions($"conv_id", $"kind", $"bucket")
+      Rollup.rollupAllColocated(pts)
+        .where($"tier" === "1h")
+        .select($"conv_id".cast("long").as("user_id"),
+          ($"bucket" / 1000000L).cast("long").as("hour_ts"),
+          $"cnt", round($"sum", 4).as("sum_v"),
+          round($"min", 6).as("min_v"), round($"max", 6).as("max_v"))
+    }),
+
     "q04_rate_gapfill" -> ((s, dir) => {
       import s.implicits._
       val pts = events(s, dir).select($"user_id".cast("string").as("conv_id"),
@@ -291,6 +310,12 @@ object SparkEntry {
 
     "q03_rollup_1d_chain" ->
       """SELECT user_id, epoch(date_trunc('day', ts))::BIGINT AS day_ts,
+         count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_v,
+         round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+         FROM events GROUP BY 1, 2""",
+
+    "q36_rollup_colocated" ->
+      """SELECT user_id, epoch(date_trunc('hour', ts))::BIGINT AS hour_ts,
          count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_v,
          round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
          FROM events GROUP BY 1, 2""",
