@@ -372,7 +372,7 @@ object SparkEntry {
       """SELECT source,
          sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS total_tokens,
          round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
-         sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))::BIGINT AS total_subwords
+         sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r\x0B]')))::BIGINT AS total_subwords
          FROM documents GROUP BY source""",
 
     "q18_quality_score" ->

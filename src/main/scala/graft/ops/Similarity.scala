@@ -95,6 +95,14 @@ object Similarity {
     df.withColumn("bkey", explode(array(keys: _*)))
   }
 
+  /** round(x·1e4) integer quantization — ONE definition shared by the
+    * corpus and query sides of the IVF index (cell assignment depends on
+    * both quantizing bit-identically) and mirrored verbatim by
+    * OracleSqlGen.q35's list_transform.
+    */
+  private def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 10000, 0).cast("long"))
+
   /** Squared L2 distance between a quantized integer vector column and a
     * double centroid column — strict left fold in dim order, so the
     * oracle's list_reduce replays it bit-for-bit.
@@ -123,6 +131,11 @@ object Similarity {
     * quantize); every distance is a strict left fold. Returns
     * (cells: (idCol, cell), centroids: (cell, cent: Array[Double])).
     *
+    * Cache lifecycle: the quantized projection persists for the session
+    * like the Dedup signature stages — run spark.catalog.clearCache()
+    * between corpus batches in a long-lived application (the harnesses
+    * do).
+    *
     * Scale shape: assignment is a broadcast nested-loop of the corpus
     * against kCells centroids — cost n·kCells·dim map-side, no corpus
     * shuffle; the Lloyd update is one (cell, dim) aggregation. At 100 TB
@@ -136,9 +149,7 @@ object Similarity {
     // the quantized projection feeds the seed, both assignment rounds and
     // the Lloyd update — persist it so the corpus scans once, not per
     // consumer (same cache lifecycle as the Dedup signature stages)
-    val vecs = embeds.select(col(idCol),
-      transform(col(vecCol), x => round(x.cast("double") * 10000, 0).cast("long"))
-        .as("qv"))
+    val vecs = embeds.select(col(idCol), quantize(col(vecCol)).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byId = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
     val c0 = vecs.orderBy(col(idCol)).limit(kCells)
@@ -167,8 +178,7 @@ object Similarity {
       kCells: Int = 8, nprobe: Int = 2): DataFrame = {
     val (cells, cents) = ivfCells(corpus, idCol, vecCol, kCells)
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
-      transform(col(vecCol), x => round(x.cast("double") * 10000, 0).cast("long"))
-        .as("qv"))
+      quantize(col(vecCol)).as("qv"))
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"dd".asc, $"cell".asc)
     val probes = qv.crossJoin(broadcast(cents))

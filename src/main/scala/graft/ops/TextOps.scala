@@ -16,11 +16,12 @@ object TextOps {
 
   /** BPE-ish subword count: the class-based pretokenization BPE
     * vocabularies split on — letter runs, single digits, single
-    * non-alphanumeric marks. Deliberately lookaround-free so the Java
-    * regex and the oracle's RE2 (DuckDB regexp_extract_all) agree
-    * match-for-match.
+    * non-alphanumeric marks. Deliberately lookaround-free, and the
+    * whitespace class is spelled out instead of `\s` (Java's \s includes
+    * vertical tab, RE2's does not) so the Java regex and the oracle's
+    * RE2 (DuckDB regexp_extract_all) agree match-for-match.
     */
-  val SubwordPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  val SubwordPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r\\x0B]"
 
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
