@@ -159,47 +159,86 @@ object MpDist {
 
   /** The column-min + per-row moving-min + per-offset selection pipeline of
     * [[mpdistVector]] over an already-built distance matrix — shared with
-    * DistributedSnippets (tile tasks build their matrices with prepared
-    * query transforms) and mirrored by BruteMp's SQL twin.
+    * DistributedSnippets' tile tasks and mirrored by BruteMp's SQL twin.
+    *
+    * Fused single sweep over columns: per-row ascending-minima deques give
+    * each row's moving minimum (window = rows) the moment its window
+    * completes, and a ring buffer holds the last `rows` column minima — so
+    * nothing rows×cols beyond the input matrix is ever materialized (the
+    * r3 shape allocated a second full moving-minima matrix). Min
+    * bookkeeping is comparison-only, so outputs are value-identical to
+    * the unfused reference pipeline (mpdist.py:145-184).
     */
   def mpdistVectorFromMatrix(matrix: Array[Array[Double]], tsLen: Int,
       tsBLen: Int, w: Int): Array[Double] = {
     val rows = matrix.length
     val cols = matrix(0).length
-
-    // column minima across rows
-    val allRightHist = new Array[Double](cols)
-    java.util.Arrays.fill(allRightHist, Double.PositiveInfinity)
-    var i = 0
-    while (i < rows) {
-      var j = 0
-      while (j < cols) {
-        if (matrix(i)(j) < allRightHist(j)) allRightHist(j) = matrix(i)(j)
-        j += 1
-      }
-      i += 1
-    }
-    // moving min over each row with window = rows
-    val massMinimums = new Array[Array[Double]](rows)
-    i = 0
-    while (i < rows) {
-      massMinimums(i) = MovingStats.movingMin(matrix(i), rows)
-      i += 1
-    }
-
     val mpdistLength = tsLen - tsBLen + 1
     val rightHistLength = tsBLen - w + 1
+    // the ring sizes below assume the mpdist-vector shape, where the
+    // moving-min window and the right-hist span are both tsB's profile
+    // length — true for every matrix built from a tsB query
+    require(rightHistLength == rows,
+      s"matrix rows $rows != right-hist span $rightHistLength")
     val out = new Array[Double](mpdistLength)
-    // one scratch, fully refilled per offset (calculateMpdist mutates it)
+    // per-row ascending-minima deque (values + column ids, ring storage)
+    val dqv = Array.ofDim[Double](rows, rows + 1)
+    val dqc = Array.ofDim[Int](rows, rows + 1)
+    val head = new Array[Int](rows)
+    val tail = new Array[Int](rows)
+    // ring of the last `rows` column minima
+    val colMin = new Array[Double](rows)
+    // scratch, fully refilled per offset (calculateMpdist mutates it)
     val profile = new Array[Double](rows + rightHistLength)
-    i = 0
-    while (i < mpdistLength) {
-      var j = 0
-      while (j < rows) { profile(j) = massMinimums(j)(i); j += 1 }
-      j = 0
-      while (j < rightHistLength) { profile(rows + j) = allRightHist(i + j); j += 1 }
-      out(i) = calculateMpdist(profile, 0.05, 2 * tsBLen)
-      i += 1
+    val cap = rows + 1
+    var ring = 0 // c % rows, maintained without division
+    var c = 0
+    while (c < cols) {
+      var cm = Double.PositiveInfinity
+      var r = 0
+      while (r < rows) {
+        val dv = dqv(r)
+        val dc = dqc(r)
+        val v = matrix(r)(c)
+        if (v < cm) cm = v
+        // pop dominated tail entries, push (v, c)
+        var t = tail(r)
+        val h = head(r)
+        var p = if (t == 0) cap - 1 else t - 1
+        while (t != h && dv(p) >= v) {
+          t = p
+          p = if (t == 0) cap - 1 else t - 1
+        }
+        dv(t) = v
+        dc(t) = c
+        t += 1
+        tail(r) = if (t == cap) 0 else t
+        // evict entries that left the window [c-rows+1, c]
+        if (dc(h) <= c - rows) {
+          val h2 = h + 1
+          head(r) = if (h2 == cap) 0 else h2
+        }
+        r += 1
+      }
+      colMin(ring) = cm
+      val i = c - rows + 1
+      if (i >= 0 && i < mpdistLength) {
+        var j = 0
+        while (j < rows) { profile(j) = dqv(j)(head(j)); j += 1 }
+        // colmins for [i, i+rows) start right after the slot just written
+        var k = ring + 1
+        j = 0
+        while (j < rightHistLength) {
+          if (k == rows) k = 0
+          profile(rows + j) = colMin(k)
+          k += 1
+          j += 1
+        }
+        out(i) = calculateMpdist(profile, 0.05, 2 * tsBLen)
+      }
+      ring += 1
+      if (ring == rows) ring = 0
+      c += 1
     }
     out
   }
