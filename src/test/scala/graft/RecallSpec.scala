@@ -181,5 +181,15 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val ivfRecall = brute.count(ivf1.contains).toDouble / brute.size
     assert(ivfRecall >= 0.7, s"IVF nprobe=1 recall $ivfRecall < 0.7 on clustered data")
+
+    // parallelism invariance: the quantized integer sums make the Lloyd
+    // update order-free, so the index (and thus the results) must be
+    // identical under any input partitioning
+    val ivfRepart = Similarity.ivfTopK(df.repartition(7), q, 5, kCells = 8, nprobe = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfOnePart = Similarity.ivfTopK(df.coalesce(1), q, 5, kCells = 8, nprobe = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfRepart == ivf1 && ivfOnePart == ivf1,
+      "IVF results must be invariant to input partitioning")
   }
 }
