@@ -203,6 +203,26 @@ class MpfSpec extends AnyFunSuite with BeforeAndAfterAll {
       rt.mp.get.pi.get.data.toSeq == Seq(2L, 0L, 1L))
   }
 
+  test("fuzzed mpf bytes terminate: mutated, truncated, or extended input " +
+      "either parses or throws — never hangs or loops") {
+    val base = fixtureBytes("fixture_mp.mpf")
+    val rnd = new java.util.Random(5)
+    var parsed = 0
+    var threw = 0
+    for (trial <- 0 until 300) {
+      val b = base.clone()
+      val bytes = trial % 3 match {
+        case 0 => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte; b
+        case 1 => java.util.Arrays.copyOfRange(b, 0, rnd.nextInt(b.length))
+        case _ => b ++ Array.fill(1 + rnd.nextInt(8))(rnd.nextInt(256).toByte)
+      }
+      try { Mpf.fromBytes(bytes); parsed += 1 }
+      catch { case _: Exception => threw += 1 }
+    }
+    // both outcomes must occur (the fuzz actually exercises failure paths)
+    assert(parsed > 0 && threw > 0, s"parsed=$parsed threw=$threw")
+  }
+
   test("corrupt length-delimited field fails fast instead of looping") {
     val base = fixtureBytes("fixture_mp.mpf")
     // unknown field 20 (tag a2 01), wire 2, varint length far beyond the
