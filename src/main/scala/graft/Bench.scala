@@ -132,7 +132,9 @@ object Bench {
           if (times.length <= 1) times.head
           else {
             val s = times.tail.sorted
-            s(s.length / 2) // upper median of the warm reps
+            // lower median: the middle rep at odd counts, best-of-2 at the
+            // default (an upper median of two would report the WORSE rep)
+            s((s.length - 1) / 2)
           }
         (name, times.head, warm)
       }

@@ -180,6 +180,11 @@ object MpDist {
     // length — true for every matrix built from a tsB query
     require(rightHistLength == rows,
       s"matrix rows $rows != right-hist span $rightHistLength")
+    // every output offset must see a complete window; a matrix narrower
+    // than tsLen implies would otherwise leave silent 0.0 distances
+    // (= "perfect match") where the unfused code failed loudly
+    require(cols - rows + 1 >= mpdistLength,
+      s"matrix cols $cols too narrow for $mpdistLength offsets (rows=$rows)")
     val out = new Array[Double](mpdistLength)
     // per-row ascending-minima deque (values + column ids, ring storage)
     val dqv = Array.ofDim[Double](rows, rows + 1)

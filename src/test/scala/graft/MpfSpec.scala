@@ -205,19 +205,25 @@ class MpfSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("fuzzed mpf bytes terminate: mutated, truncated, or extended input " +
       "either parses or throws — never hangs or loops") {
+    import org.scalatest.concurrent.TimeLimits._
+    import org.scalatest.time.{Seconds, Span}
+    implicit val signaler: org.scalatest.concurrent.Signaler =
+      org.scalatest.concurrent.ThreadSignaler
     val base = fixtureBytes("fixture_mp.mpf")
     val rnd = new java.util.Random(5)
     var parsed = 0
     var threw = 0
-    for (trial <- 0 until 300) {
-      val b = base.clone()
-      val bytes = trial % 3 match {
-        case 0 => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte; b
-        case 1 => java.util.Arrays.copyOfRange(b, 0, rnd.nextInt(b.length))
-        case _ => b ++ Array.fill(1 + rnd.nextInt(8))(rnd.nextInt(256).toByte)
+    failAfter(Span(60, Seconds)) { // a looping reader fails, not hangs
+      for (trial <- 0 until 300) {
+        val b = base.clone()
+        val bytes = trial % 3 match {
+          case 0 => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte; b
+          case 1 => java.util.Arrays.copyOfRange(b, 0, rnd.nextInt(b.length))
+          case _ => b ++ Array.fill(1 + rnd.nextInt(8))(rnd.nextInt(256).toByte)
+        }
+        try { Mpf.fromBytes(bytes); parsed += 1 }
+        catch { case _: Exception => threw += 1 }
       }
-      try { Mpf.fromBytes(bytes); parsed += 1 }
-      catch { case _: Exception => threw += 1 }
     }
     // both outcomes must occur (the fuzz actually exercises failure paths)
     assert(parsed > 0 && threw > 0, s"parsed=$parsed threw=$threw")
