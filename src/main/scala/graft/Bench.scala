@@ -77,6 +77,66 @@ object Bench {
     (nPoints, rolled, nSubseq, rollupSec, genericSec, mpSec)
   }
 
+  /** Fresh 1-minute load average — sampled BEFORE every rep, so each
+    * timed number carries its own recording conditions (the r4 lesson: one
+    * start-of-run sample can't defend individual queries against a burst
+    * of contention mid-battery).
+    */
+  def load1(): Double = try {
+    scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+  } catch { case _: Throwable => -1.0 }
+
+  /** One timed rep: (seconds, load1 sampled immediately before). */
+  final case class Rep(sec: Double, load: Double)
+
+  /** Per-query outcome: cold rep, chosen warm stat, max load seen across
+    * all reps, extra reps run by the contamination guard, and which stat
+    * was used ("median" on a clean run, "minload" when the guard fired).
+    */
+  final case class QResult(name: String, cold: Rep, warm: Double,
+      loadMax: Double, extraReps: Int, stat: String)
+
+  /** Contamination guard thresholds: a warm rep landing on a loaded host
+    * (load1 > LoadLimit) or warm reps spreading more than SpreadLimit×
+    * trigger extra reps; the reported warm number is then the rep recorded
+    * at the lowest load (ties → fastest), not a median over garbage.
+    */
+  val LoadLimit = 2.0
+  val SpreadLimit = 2.0
+
+  def measureQuery(name: String, warmReps: Int, maxExtra: Int)
+      (run: () => Unit)(cleanup: () => Unit = () => ()): QResult = {
+    def rep(): Rep = {
+      val ld = load1()
+      val t0 = System.nanoTime()
+      try run() catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9 // cleanup is untimed
+      try cleanup() catch { case _: Throwable => () }
+      Rep(dt, ld)
+    }
+    val cold = rep()
+    var warm = Vector.tabulate(math.max(0, warmReps))(_ => rep())
+    def contaminated(rs: Seq[Rep]): Boolean = rs.nonEmpty && (
+      rs.exists(_.load > LoadLimit) ||
+        rs.map(_.sec).max > SpreadLimit * rs.map(_.sec).min)
+    var extra = 0
+    val triggered = contaminated(warm)
+    while (extra < maxExtra && contaminated(warm)) {
+      warm :+= rep()
+      extra += 1
+    }
+    val (warmVal, stat) =
+      if (warm.isEmpty) (cold.sec, "cold")
+      else if (triggered || extra > 0)
+        (warm.minBy(r => (r.load, r.sec)).sec, "minload")
+      else {
+        val s = warm.map(_.sec).sorted
+        (s((s.length - 1) / 2), if (warm.length >= 3) "median" else "best")
+      }
+    val loadMax = (cold +: warm).map(_.load).max
+    QResult(name, cold, warmVal, loadMax, extra, stat)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -93,22 +153,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // 1-minute load BEFORE any work: the quiet-host evidence (read later
-    // it would mostly echo this process's own usage)
-    val load1 = try {
-      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
+    // start-of-run load: kept for continuity with r03/r04 artifacts; the
+    // per-query map below is the authoritative contamination evidence
+    val startLoad = load1()
 
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
-    // warm reps per query: the r3 verdict's methodology fix — report the
-    // first (cold: codegen + JIT + scan warmup) run AND the median of
-    // `warmReps` further runs. Spark caches are cleared between EVERY rep,
-    // so warm numbers measure the full recompute in a warmed JVM, never
-    // cache hits; round-over-round comparability rule lives in BENCH.md.
-    // Default 2 keeps the full 36-query battery inside a driver-friendly
-    // wall time (~3x the r03 single-rep run); raise via env for the
-    // manual quiet-host batteries recorded in BENCH.md.
-    val warmReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // warm reps per query: the first run is cold (codegen + JIT + scan
+    // warmup); `warmReps` further runs give the warm stat. Spark caches
+    // are cleared between EVERY rep, so warm numbers measure the full
+    // recompute in a warmed JVM, never cache hits. Default 3 so the
+    // median is a true middle rep (2 would silently report best-of-2);
+    // round-over-round comparability rules live in BENCH.md.
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "3").toInt
     if (!skipQueries) {
       // page the inputs so the first timed query doesn't absorb file I/O
       Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
@@ -119,42 +176,48 @@ object Bench {
     val results =
       if (skipQueries) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (0 to warmReps).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          val dt = (System.nanoTime() - t0) / 1e9
+        measureQuery(name, warmReps, maxExtra) { () =>
+          fn(spark, sfDir).count()
+        } { () =>
           // queries persist shared intermediates (LSH signatures, quantized
-          // series) — drop them so no rep ever reads another's cache
+          // series) — drop them so no rep ever reads another's cache;
+          // untimed so the release cost never pollutes the measurement
+          graft.util.StageCache.release(spark)
           spark.catalog.clearCache()
-          dt
         }
-        val warm =
-          if (times.length <= 1) times.head
-          else {
-            val s = times.tail.sorted
-            // lower median: the middle rep at odd counts, best-of-2 at the
-            // default (an upper median of two would report the WORSE rep)
-            s((s.length - 1) / 2)
-          }
-        (name, times.head, warm)
       }
-    val qs = results.map { case (k, c, _) => "\"" + k + f"""":$c%.3f""" }
-      .mkString("{", ",", "}")
-    val qsWarm = results.map { case (k, _, w) => "\"" + k + f"""":$w%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalWarm = results.map(_._3).sum
+    def jmap(f: QResult => String): String =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(r => f"${r.cold.sec}%.3f")
+    val qsWarm = jmap(r => f"${r.warm}%.3f")
+    val qsLoad = jmap(r => f"${r.loadMax}%.2f")
+    val qsExtra = jmap(r => s"${r.extraReps}")
+    val qsStat = jmap(r => "\"" + r.stat + "\"")
+    val total = results.map(_.cold.sec).sum
+    val totalWarm = results.map(_.warm).sum
+    // artifact honesty: the warm key says what the value IS — a median
+    // only when >= 3 clean reps back it
+    val warmKey = if (warmReps >= 3) "queries_warm_median" else "queries_warm_best"
 
     // pipeline legs: rep 1 is the round-over-round-comparable cold number
-    // (identical harness to r01-r03); further reps give the warm best
+    // (identical harness to r01-r03); further reps give the warm best.
+    // Each rep's pre-sampled load is emitted so a contaminated rep is
+    // visible in the artifact; one extra rep runs if any warm rep was
+    // recorded over the load limit.
     val pipelineReps = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPS", "2").toInt
-    val pipeRuns = (1 to math.max(1, pipelineReps)).map { i =>
+    var pipeLoads = Vector.empty[Double]
+    def pipeRep(first: Boolean): (Long, Long, Long, Double, Double, Double) = {
+      pipeLoads :+= load1()
       // the generic-rollup comparison leg informs plan choice, not warm
       // timing — run it once
-      val r = pipelineBench(spark, benchConvs, turnsScale, withGeneric = i == 1)
+      val r = pipelineBench(spark, benchConvs, turnsScale, withGeneric = first)
+      graft.util.StageCache.release(spark)
       spark.catalog.clearCache()
       r
     }
+    var pipeRuns = (1 to math.max(1, pipelineReps)).map(i => pipeRep(i == 1)).toVector
+    if (pipeRuns.length > 1 && pipeLoads.tail.forall(_ > LoadLimit))
+      pipeRuns :+= pipeRep(false) // every warm rep contaminated: one retry
     val (nPoints, rolled, nSubseq, rollupSec, genericSec, mpSec) = pipeRuns.head
     // warm = best of the post-cold reps only; with a single rep there is
     // no warm measurement, so fall back to the cold number explicitly
@@ -164,10 +227,13 @@ object Bench {
     val pointsPerSec = nPoints / rollupSec
     val pointsPerSecGeneric = nPoints / genericSec
     val subseqPerSec = nSubseq / mpSec
+    val pipeLoadJson = pipeLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""queries_warm_median":$qsWarm,"total_warm":$totalWarm%.3f,""" +
-      f""""warm_reps":$warmReps,"host_load1":$load1%.2f,""" +
+      f""""$warmKey":$qsWarm,"total_warm":$totalWarm%.3f,""" +
+      f""""queries_load1":$qsLoad,"queries_extra_reps":$qsExtra,""" +
+      f""""queries_warm_stat":$qsStat,""" +
+      f""""warm_reps":$warmReps,"host_load1":$startLoad%.2f,""" +
       f""""sf":"$sfDir","cpus":$cpus,"bench_convs":$benchConvs,""" +
       f""""rollup_points":$nPoints,"rolled_rows":$rolled,"rollup_sec":$rollupSec%.3f,""" +
       f""""points_per_sec":$pointsPerSec%.0f,""" +
@@ -175,9 +241,21 @@ object Bench {
       f""""points_per_sec_generic":$pointsPerSecGeneric%.0f,""" +
       f""""mp_subsequences":$nSubseq,"mp_sec":$mpSec%.3f,""" +
       f""""subseq_per_sec":$subseqPerSec%.0f,""" +
+      f""""pipeline_load1":$pipeLoadJson,""" +
       f""""rollup_sec_warm":$rollupWarm%.3f,"mp_sec_warm":$mpWarm%.3f,""" +
       f""""points_per_sec_warm":${nPoints / rollupWarm}%.0f,""" +
       f""""subseq_per_sec_warm":${nSubseq / mpWarm}%.0f}""")
+
+    // plan-digest artifact (verdict r4 #8): dump each query's plan summary
+    // AFTER the timed battery so digest plan-building never warms the cold
+    // reps; exchange/broadcast regressions become diffable per round
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_OUT", "plan_digest.json")
+      try graft.run.PlanDigest.writeAll(spark, sfDir, out)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] plan digest failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

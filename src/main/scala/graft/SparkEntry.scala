@@ -233,9 +233,10 @@ object SparkEntry {
     "q35_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       // raw vectors feed the brute side, the IVF re-rank and the query
-      // set — persist so the parquet scans once (harnesses clear caches)
-      val e = embeddings(s, dir).select($"vec_id", $"embedding")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // set — persist (via StageCache, released by the harness after the
+      // action) so the parquet scans once
+      val e = graft.util.StageCache.persist(
+        embeddings(s, dir).select($"vec_id", $"embedding"))
       // the oracle hardcodes dim=64 (range(64) per-dim sums) like q24/q25
       val dim = Similarity.vecDim(e, "embedding")
       require(dim == 64, s"OracleSqlGen.q35 assumes dim=64 but embeddings " +

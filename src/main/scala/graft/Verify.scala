@@ -21,9 +21,17 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query persisted intermediates must not accumulate over 31 dumps
-      spark.catalog.clearCache()
+      // per-query persisted intermediates must not accumulate over the 36
+      // dumps: every operator-internal persist registers with StageCache,
+      // so an explicit release frees exactly those (no global clearCache)
+      graft.util.StageCache.release(spark)
     }
+    // lifecycle proof: after releasing, no operator stage may still hold
+    // storage (a leak here means some persist bypassed StageCache)
+    val leaked = spark.sparkContext.getPersistentRDDs
+    if (leaked.nonEmpty)
+      System.err.println(s"[verify] WARNING: ${leaked.size} persisted RDD(s) " +
+        s"leaked past StageCache.release: ${leaked.values.map(_.name).mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -145,10 +145,10 @@ object DistributedSnippets {
     // into cpus*2 buckets serializes several multi-second kernels into one
     // task and stalls the stage on stragglers
     val groupParts = spark.sparkContext.defaultParallelism * 8
-    val chunks = series.flatMap(s => tileGen(s, size, tileSize, tilesPerTask))
-      .repartition(groupParts, $"conv_id", $"ci", $"g0")
-      .flatMap(t => groupChunks(t, w, size, tileSize))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val chunks = graft.util.StageCache.persist(
+      series.flatMap(s => tileGen(s, size, tileSize, tilesPerTask))
+        .repartition(groupParts, $"conv_id", $"ci", $"g0")
+        .flatMap(t => groupChunks(t, w, size, tileSize)))
 
     // greedy rounds: winners per conversation, running elementwise minima
     var minis: DataFrame = null // (conv_id, t0, m: Array[Double])
@@ -163,11 +163,11 @@ object DistributedSnippets {
         else
           chunks.toDF().join(minis, Seq("conv_id", "t0"))
             .select($"conv_id", $"ci", sumMin($"dv", $"m").as("ps"))
-      val wr = scored.groupBy($"conv_id", $"ci").agg(sum($"ps").as("s"))
-        .withColumn("rn", row_number().over(byConv))
-        .where($"rn" === 1)
-        .select($"conv_id", $"ci", lit(r).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val wr = graft.util.StageCache.persist(
+        scored.groupBy($"conv_id", $"ci").agg(sum($"ps").as("s"))
+          .withColumn("rn", row_number().over(byConv))
+          .where($"rn" === 1)
+          .select($"conv_id", $"ci", lit(r).as("rank")))
       wr.count() // materialize: downstream branches reuse, not recompute
       val pickedChunks = chunks.toDF().join(broadcast(wr), Seq("conv_id", "ci"))
         .select($"conv_id", $"t0", $"dv")
@@ -176,7 +176,7 @@ object DistributedSnippets {
         else minis.join(pickedChunks, Seq("conv_id", "t0"))
           .select($"conv_id", $"t0", zip_with($"m", $"dv",
             (x, y) => least(x, y)).as("m"))
-      val persisted = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val persisted = graft.util.StageCache.persist(next)
       persisted.count()
       if (minis != null) minis.unpersist()
       minis = persisted

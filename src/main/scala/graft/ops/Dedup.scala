@@ -20,9 +20,10 @@ import graft.ops.ColSyntax._
   *
   * Cache lifecycle: these builders persist their shared stages
   * (signatures, bucket keys) so multi-consumer plans compute them once.
-  * The handles stay registered until the caller drops them — run
-  * `spark.catalog.clearCache()` between corpus batches in a long-lived
-  * application (the Bench/Verify harnesses do exactly that).
+  * Every such handle registers with [[graft.util.StageCache]]; call
+  * `StageCache.release(spark)` after the consuming action to free exactly
+  * these stages (no global `clearCache()` needed — the Verify/Bench
+  * harnesses release between queries/reps).
   */
 object Dedup {
 
@@ -53,20 +54,25 @@ object Dedup {
     * The capped output is persisted: every caller immediately forks it
     * into the two sides of the candidate equi-join, and an unpersisted
     * fork would run the banding + anti-join twice (and tick the
-    * accumulator twice). Behind the cache the cap materializes once.
+    * accumulator twice). Behind the cache the cap materializes once. The
+    * persist handle registers with [[graft.util.StageCache]] — release it
+    * after the consuming action.
     */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String],
       maxBucket: Int, what: String): DataFrame = {
     if (maxBucket <= 0) // explicit opt-out: uncapped, but still forked twice
-      return banded.persist(StorageLevel.MEMORY_AND_DISK)
+      return graft.util.StageCache.persist(banded)
     val acc = CapBucketsLog.accumulatorFor(banded.sparkSession, what, maxBucket)
     val mark = udf(() => { acc.add(1L); true }).asNondeterministic()
+    // when(cond, tick) makes the tick's ordering explicit — `cond && tick()`
+    // would lean on left-to-right short-circuit, which Catalyst does not
+    // contractually preserve for nondeterministic expressions
     val over = banded.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bsize"))
-      .where($"bsize" > maxBucket && mark())
+      .where(when($"bsize" > maxBucket, mark()).otherwise(lit(false)))
       .select(keyCols.map(col): _*)
-    banded.join(broadcast(over), keyCols, "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.util.StageCache.persist(
+      banded.join(broadcast(over), keyCols, "left_anti"))
   }
 
   /** Hash-spread an (id, text) projection before a CPU-heavy typed kernel
@@ -180,9 +186,8 @@ object Dedup {
     // both verify sides) with different downstream partitionings — persist
     // it so the corpus is scanned and hashed ONCE, not 3x (at 100 TB this
     // would be a checkpoint to parquet instead)
-    val sigs = minhashSignature(
-      docs.withColumnRenamed(idCol, "doc_id"), textCol, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.util.StageCache.persist(minhashSignature(
+      docs.withColumnRenamed(idCol, "doc_id"), textCol, numHashes))
 
     val banded = capBuckets(
       sigs.select($"id",
@@ -224,7 +229,7 @@ object Dedup {
   def pipeline(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 16, bands: Int = 8, threshold: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val ex = exact(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = graft.util.StageCache.persist(exact(docs, idCol, textCol))
     val exactPairs = ex
       // group min over ALL rows (the representative is the min id itself),
       // then keep only the non-representatives as the duplicate side
@@ -299,7 +304,7 @@ object Dedup {
     // no re-join of signatures by id, and the hamming test is integer
     // XOR + popcount (the same integer as the oracle's per-char zip count,
     // ~50x cheaper than two 64-element split arrays per candidate)
-    val sig = simhash(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.util.StageCache.persist(simhash(docs, idCol, textCol))
     def half(pos: Int): Column =
       conv(substring($"simhash", pos, 32), 2, 10).cast("long")
     val banded = capBuckets(
@@ -335,12 +340,12 @@ object Dedup {
     // vectors are consumed by key generation AND both verify sides: cache
     // the projected scan once; the hyperplane-fold key stage is cached as
     // an id+bkey projection so its (tables x planes x dim) folds run once
-    val vecs = embeds.select(col(idCol), col(vecCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vecs = graft.util.StageCache.persist(
+      embeds.select(col(idCol), col(vecCol)))
     val keys = capBuckets(
-      Similarity.withBucketKeys(vecs, idCol, vecCol, planes, tables, seed = 7)
-        .select($"bkey", col(idCol))
-        .persist(StorageLevel.MEMORY_AND_DISK),
+      graft.util.StageCache.persist(
+        Similarity.withBucketKeys(vecs, idCol, vecCol, planes, tables, seed = 7)
+          .select($"bkey", col(idCol))),
       Seq("bkey"), maxBucket, "embeddingDups")
     val l = keys.select($"bkey", col(idCol).as("id_a"))
     val r = keys.select($"bkey", col(idCol).as("id_b"))
@@ -373,15 +378,19 @@ private[graft] object CapBucketsLog {
       val maxBucket: Int) {
     @volatile var logged: Long = 0L
   }
+  // keyed on (session, builder, maxBucket): a later call with a different
+  // cap gets its own accumulator, so the logged threshold is always the
+  // one the dropped buckets were actually compared against
   private val entries =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Entry]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Entry]()
 
   /** Last-known oversized-bucket count for `what`, max across live
-    * sessions (diagnostics/tests only — production consumers read the log).
+    * sessions and caps (diagnostics/tests only — production consumers read
+    * the log).
     */
   def lastOverCount(what: String): Option[Long] = {
     import scala.jdk.CollectionConverters._
-    entries.asScala.collect { case ((_, w), e) if w == what => e.acc.value.longValue }
+    entries.asScala.collect { case ((_, w, _), e) if w == what => e.acc.value.longValue }
       .maxOption
   }
 
@@ -391,10 +400,10 @@ private[graft] object CapBucketsLog {
     // (tests, notebooks) don't accumulate accumulators + listeners
     entries.keySet.removeIf(k => k._1.sparkContext.isStopped)
     sessions.removeIf(s => s.sparkContext.isStopped)
-    entries.computeIfAbsent((spark, what), { key =>
+    entries.computeIfAbsent((spark, what, maxBucket), { key =>
       registerListener(spark)
-      new Entry(spark.sparkContext.longAccumulator(s"graft.capBuckets.$what"),
-        maxBucket)
+      new Entry(spark.sparkContext.longAccumulator(
+        s"graft.capBuckets.$what.le$maxBucket"), maxBucket)
     }).acc
   }
 
@@ -407,7 +416,7 @@ private[graft] object CapBucketsLog {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit = {
           import scala.jdk.CollectionConverters._
-          entries.asScala.foreach { case ((s, what), e) =>
+          entries.asScala.foreach { case ((s, what, _), e) =>
             if (s eq qe.sparkSession) {
               val v = e.acc.value.longValue
               if (v > e.logged) {

@@ -131,10 +131,10 @@ object Similarity {
     * quantize); every distance is a strict left fold. Returns
     * (cells: (idCol, cell), centroids: (cell, cent: Array[Double])).
     *
-    * Cache lifecycle: the quantized projection persists for the session
-    * like the Dedup signature stages — run spark.catalog.clearCache()
-    * between corpus batches in a long-lived application (the harnesses
-    * do).
+    * Cache lifecycle: the quantized projection persists via
+    * [[graft.util.StageCache]] like the Dedup signature stages — call
+    * `StageCache.release(spark)` after the consuming action (the
+    * harnesses do, between queries/reps).
     *
     * Scale shape: assignment is a broadcast nested-loop of the corpus
     * against kCells centroids — cost n·kCells·dim map-side, no corpus
@@ -149,8 +149,8 @@ object Similarity {
     // the quantized projection feeds the seed, both assignment rounds and
     // the Lloyd update — persist it so the corpus scans once, not per
     // consumer (same cache lifecycle as the Dedup signature stages)
-    val vecs = embeds.select(col(idCol), quantize(col(vecCol)).as("qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = graft.util.StageCache.persist(
+      embeds.select(col(idCol), quantize(col(vecCol)).as("qv")))
     val byId = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
     val c0 = vecs.orderBy(col(idCol)).limit(kCells)
       .withColumn("cell", row_number().over(byId) - 1)

@@ -33,7 +33,7 @@ object MpQueries {
     * of once per consumer.
     */
   def quantSeriesCached(s: SparkSession, dir: String): Dataset[QSeries] =
-    quantSeries(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    graft.util.StageCache.persist(quantSeries(s, dir))
 
   /** Per-user series capped at OracleSqlGen.Cap points ordered by
     * (ts, event_id), values quantized to round(value*10000) — exactly the
@@ -190,8 +190,8 @@ object MpQueries {
     */
   def q12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val top = topKByLength(quantSeriesCached(s, dir).filter(_.vi.length >= W), 5)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val top = graft.util.StageCache.persist(
+      topKByLength(quantSeriesCached(s, dir).filter(_.vi.length >= W), 5))
     val l = top.as("l")
     val r = top.as("r")
     l.joinWith(r, col("l.user_id") < col("r.user_id"), "inner").map { case (a, b) =>
@@ -378,8 +378,8 @@ object MpQueries {
     */
   def q30(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val top = topKByLength(quantSeriesCached(s, dir).filter(_.vi.length >= W), 8)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val top = graft.util.StageCache.persist(
+      topKByLength(quantSeriesCached(s, dir).filter(_.vi.length >= W), 8))
     val l = top.as("l")
     val r = top.as("r")
     val pairRows = l.joinWith(r, col("l.user_id") < col("r.user_id"), "inner").map { case (a, b) =>

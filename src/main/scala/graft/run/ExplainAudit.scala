@@ -2,14 +2,18 @@ package graft.run
 
 import org.apache.spark.sql.SparkSession
 
-/** Physical-plan audit for the oracle-gated queries: prints formatted
-  * plans and flags missing pushdown / non-codegen stages. Run after plan
-  * changes: `runMain graft.run.ExplainAudit [sfDir] [queryPrefix]`.
+/** Physical-plan audit for the oracle-gated queries: prints each query's
+  * [[PlanDigest]] (and the full formatted plan under GRAFT_EXPLAIN_FULL),
+  * optionally writing the machine-diffable digest JSON. Run after plan
+  * changes: `runMain graft.run.ExplainAudit [sfDir] [queryPrefix] [outJson]`.
+  * The bench harness emits the same digest per round under
+  * SPARK_GRAFT_EXPLAIN=1 (see Bench).
   */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val prefix = if (args.length > 1) args(1) else "q"
+    val out = if (args.length > 2) Some(args(2)) else None
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -22,18 +26,17 @@ object ExplainAudit {
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
-          val plan = df.queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-          val exchanges = "Exchange".r.findAllIn(plan).length
-          val scans = "Scan parquet".r.findAllIn(plan).length
-          val wscg = "codegen id".r.findAllIn(plan).length
-          val pushed = plan.contains("PushedFilters: [") &&
-            !plan.contains("PushedFilters: []")
-          println(s"=== $name: exchanges=$exchanges scans=$scans " +
-            s"codegenSpans=$wscg pushedFilters=$pushed")
-          if (sys.env.contains("GRAFT_EXPLAIN_FULL")) println(plan)
+          val d = PlanDigest.of(df)
+          println(s"=== $name: exchanges=${d.exchanges} " +
+            s"broadcasts=${d.broadcasts} scans=${d.scans} " +
+            s"codegenSpans=${d.codegenSpans} pushedFilters=${d.pushedFilters}")
+          if (sys.env.contains("GRAFT_EXPLAIN_FULL"))
+            println(df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         } catch { case e: Throwable => println(s"=== $name: ERROR ${e.getMessage}") }
+        graft.util.StageCache.release(spark)
       }
+    out.foreach(p => PlanDigest.writeAll(spark, sfDir, p))
     spark.stop()
   }
 }

@@ -482,4 +482,59 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val enc = Gorilla.encodeTimestamps(grid)
     assert(enc.length < grid.length, s"ts bytes ${enc.length} for ${grid.length} points")
   }
+
+  test("colocated rollup fails fast on input that violates the sorted " +
+      "contract instead of silently emitting split buckets") {
+    import spark.implicits._
+    val t0 = TranscriptGen.EpochMicros
+    def pt(c: String, t: Long) = SeriesPoint(c, "tok", t, 1.0)
+    // time goes backwards within one conversation
+    val unsorted = spark.createDataset(Seq(
+      pt("c1", t0 + 120000000L), pt("c1", t0))).coalesce(1)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Rollup.rollupColocated(unsorted, "1m").collect()
+    }
+    assert(e1.getMessage.contains("not time-sorted"), e1.getMessage)
+    // a conversation reappears after another one's rows (shuffled layout)
+    val interleaved = spark.createDataset(Seq(
+      pt("c1", t0), pt("c2", t0), pt("c1", t0 + 60000000L))).coalesce(1)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Rollup.rollupAllColocated(interleaved).collect()
+    }
+    assert(e2.getMessage.contains("not colocated-sorted"), e2.getMessage)
+    // the tier-chaining variant guards too
+    val badTiers = spark.createDataset(Seq(
+      TierAgg("c1", "tok", "1m", t0 + 60000000L, 1, 1, 1, 1, 1, 1),
+      TierAgg("c1", "tok", "1m", t0, 1, 1, 1, 1, 1, 1))).coalesce(1)
+    val e3 = intercept[org.apache.spark.SparkException] {
+      Rollup.rollupTierColocated(badTiers, "1h").collect()
+    }
+    assert(e3.getMessage.contains("not time-sorted"), e3.getMessage)
+    // valid sorted input still streams through untouched
+    val ok = spark.createDataset(Seq(
+      pt("c1", t0), pt("c1", t0 + 60000000L), pt("c2", t0))).coalesce(1)
+    assert(Rollup.rollupColocated(ok, "1m").collect().length == 3)
+  }
+
+  test("operator-internal persisted stages release through StageCache: no " +
+      "storage left behind without a global clearCache") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"some document number $i with shared words " +
+        (if (i % 2 == 0) "alpha beta gamma" else "delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.pipeline(docs).count()
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (graft.ingest.TranscriptGen.splitmix64(i * 31L + j) % 1000L) / 1000.0f))
+    }.toDF("vec_id", "embedding")
+    graft.ops.Similarity.ivfTopK(vecs, vecs.where($"vec_id" < 5), 3,
+      kCells = 4, nprobe = 2).count()
+    assert(graft.util.StageCache.registeredCount(spark) > 0,
+      "expected the builders to register their persisted stages")
+    graft.util.StageCache.release(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "expected no persisted storage after StageCache.release: " +
+        spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+  }
 }
