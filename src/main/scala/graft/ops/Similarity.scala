@@ -123,50 +123,113 @@ object Similarity {
       .agg(min(struct($"dd", $"cell")).as("m"))
       .select(col(idCol), $"m.cell".as("cell"))
 
+  /** Exact integer squared L2 between two quantized vectors (seeding
+    * runs entirely in Long arithmetic so the oracle's BIGINT fold matches
+    * bit-for-bit — no float order sensitivity anywhere in seed selection).
+    */
+  private def d2Int(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
   /** Deterministic IVF coarse quantizer — the inverted-file ANN scale
-    * path (vs hyperplane LSH): `kCells` cells from one unrolled Lloyd's
-    * iteration over integer-quantized vectors (round(x·1e4)), seeded by
-    * the kCells lowest-id vectors. Integer per-dim sums make the centroid
-    * means exactly reproducible in SQL (the same reason the MP oracles
-    * quantize); every distance is a strict left fold. Returns
-    * (cells: (idCol, cell), centroids: (cell, cent: Array[Double])).
+    * path (vs hyperplane LSH): `kCells` cells from `lloydRounds` unrolled
+    * Lloyd iterations over integer-quantized vectors (round(x·1e4)).
     *
-    * Cache lifecycle: the quantized projection persists via
-    * [[graft.util.StageCache]] like the Dedup signature stages — call
-    * `StageCache.release(spark)` after the consuming action (the
-    * harnesses do, between queries/reps).
+    * Seeding is k-means++-style and fully deterministic: (1) a uniform
+    * pseudo-random sample — the 4·kCells vectors with the smallest
+    * md5('ivf:' || id), the same key-derived-randomness trick as the LSH
+    * hyperplanes (ids are arbitrary, an md5 of them is a uniform draw both
+    * engines order identically); (2) greedy maximin (farthest-point) over
+    * the sample using EXACT integer distances, ties to the lowest id — so
+    * the seeds span the sample's geometry instead of clumping. The sample
+    * is bounded (4·kCells rows collected) regardless of corpus size.
+    * Integer per-dim sums make the centroid means exactly reproducible in
+    * SQL (the same reason the MP oracles quantize); every double distance
+    * is a strict left fold. Empty cells drop out of the update identically
+    * in both engines. Returns (cells: (idCol, cell),
+    * centroids: (cell, cent: Array[Double])).
+    *
+    * Cache lifecycle: the quantized projection and each round's centroid
+    * table persist via [[graft.util.StageCache]] like the Dedup signature
+    * stages — call `StageCache.release(spark)` after the consuming action
+    * (the harnesses do, between queries/reps).
     *
     * Scale shape: assignment is a broadcast nested-loop of the corpus
     * against kCells centroids — cost n·kCells·dim map-side, no corpus
-    * shuffle; the Lloyd update is one (cell, dim) aggregation. At 100 TB
+    * shuffle; each Lloyd update is one (cell, dim) aggregation. At 100 TB
     * the standard refinements compose on top without changing the plan
     * shapes: train the centroids on a sample (the update aggregation over
-    * a `.sample` of the corpus), raise kCells toward √n, and keep the full
-    * corpus pass to the single final assignment.
+    * a `.sample` of the corpus), raise kCells toward √n with nprobe
+    * proportional, and keep the full corpus pass to the single final
+    * assignment.
     */
   def ivfCells(embeds: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", kCells: Int = 8): (DataFrame, DataFrame) = {
-    // the quantized projection feeds the seed, both assignment rounds and
-    // the Lloyd update — persist it so the corpus scans once, not per
-    // consumer (same cache lifecycle as the Dedup signature stages)
+      vecCol: String = "embedding", kCells: Int = 16,
+      lloydRounds: Int = 2): (DataFrame, DataFrame) = {
+    val spark = embeds.sparkSession
+    // the quantized projection feeds the seed sample, every assignment
+    // round and every Lloyd update — persist it so the corpus scans once,
+    // not per consumer (same cache lifecycle as the Dedup signature stages)
     val vecs = graft.util.StageCache.persist(
       embeds.select(col(idCol), quantize(col(vecCol)).as("qv")))
-    val byId = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    val c0 = vecs.orderBy(col(idCol)).limit(kCells)
-      .withColumn("cell", row_number().over(byId) - 1)
-      .select($"cell", transform($"qv", v => v.cast("double")).as("cent"))
-    val a1 = assignCells(vecs, c0, idCol)
-    // Lloyd update: per-dim integer sums -> double means (one shared
-    // division expression per component in both engines)
-    val c1 = a1.join(vecs, Seq(idCol))
-      .select($"cell", posexplode($"qv").as(Seq("pos", "v")))
-      .groupBy($"cell", $"pos")
-      .agg(sum($"v").as("s"), count(lit(1)).as("cnt"))
-      .groupBy($"cell")
-      .agg(sort_array(collect_list(struct($"pos",
-        ($"s".cast("double") / $"cnt").as("comp")))).as("pc"))
-      .select($"cell", transform($"pc", p => p.getField("comp")).as("cent"))
-    (assignCells(vecs, c1, idCol), c1)
+    val cand = vecs
+      .withColumn("mk", md5(concat(lit("ivf:"), col(idCol).cast("string"))))
+      .orderBy($"mk", col(idCol))
+      .limit(4 * kCells)
+      .select(col(idCol).cast("long"), $"qv")
+      .collect() // bounded: 4*kCells rows whatever the corpus size
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (cand.nonEmpty) chosen += 0 // first seed = smallest (md5, id)
+    while (chosen.length < math.min(kCells, cand.length)) {
+      var best = -1
+      var bestd = -1L
+      var j = 0
+      while (j < cand.length) {
+        if (!chosen.contains(j)) {
+          var mind = Long.MaxValue
+          chosen.foreach(c => mind = math.min(mind, d2Int(cand(j)._2, cand(c)._2)))
+          if (best < 0 || mind > bestd ||
+              (mind == bestd && cand(j)._1 < cand(best)._1)) {
+            best = j; bestd = mind
+          }
+        }
+        j += 1
+      }
+      chosen += best
+    }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cent",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    var cents = spark.createDataFrame(
+      java.util.Arrays.asList(chosen.toSeq.zipWithIndex.map {
+        case (ci, cell) =>
+          org.apache.spark.sql.Row(cell, cand(ci)._2.map(_.toDouble).toSeq)
+      }: _*), centSchema)
+    for (_ <- 1 to lloydRounds) {
+      val a = assignCells(vecs, cents, idCol)
+      // Lloyd update: per-dim integer sums -> double means (one shared
+      // division expression per component in both engines); persisted
+      // because the next round's assignment, the final assignment and the
+      // probe side all consume it — 16 rows, but computing it is a full
+      // corpus aggregation
+      cents = graft.util.StageCache.persist(a.join(vecs, Seq(idCol))
+        .select($"cell", posexplode($"qv").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg(sum($"v").as("s"), count(lit(1)).as("cnt"))
+        .groupBy($"cell")
+        .agg(sort_array(collect_list(struct($"pos",
+          ($"s".cast("double") / $"cnt").as("comp")))).as("pc"))
+        .select($"cell", transform($"pc", p => p.getField("comp")).as("cent")))
+    }
+    (assignCells(vecs, cents, idCol), cents)
   }
 
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
@@ -175,8 +238,8 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      kCells: Int = 8, nprobe: Int = 2): DataFrame = {
-    val (cells, cents) = ivfCells(corpus, idCol, vecCol, kCells)
+      kCells: Int = 16, nprobe: Int = 2, lloydRounds: Int = 2): DataFrame = {
+    val (cells, cents) = ivfCells(corpus, idCol, vecCol, kCells, lloydRounds)
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
       quantize(col(vecCol)).as("qv"))
     val pw = org.apache.spark.sql.expressions.Window

