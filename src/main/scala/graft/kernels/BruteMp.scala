@@ -144,13 +144,56 @@ object BruteMp {
     abba(math.min(abba.length - 1, math.max(0, upperIdx)))
   }
 
-  /** Global minimum AB-join distance (q28's summary). */
+  /** Global minimum AB-join distance (q28's summary) — same O(plenA·plenB)
+    * rolling-diagonal sweep as [[abProfile]] but several times cheaper per
+    * cell: the per-window denominators sqrt(max(s2-s1²/w, 0)) are hoisted
+    * once per series (the SAME expression pairDist evaluates, so each
+    * cell's correlation double is bit-identical), the sweep tracks only
+    * the maximum correlation — dist = sqrt(max(2w(1-corr), 0)) is monotone
+    * non-increasing in corr under IEEE rounding, so argmax corr == argmin
+    * dist and equal corrs yield the identical distance — and the one
+    * winning cell is re-evaluated through [[pairDist]] so the returned
+    * double matches the unoptimized min-over-profile scan bit-for-bit
+    * (gated in BruteForceOracleSpec and by the q28 oracle hash).
+    */
   def abMinDist(a: Array[Long], b: Array[Long], w: Int): Double = {
-    val r = abProfile(a, b, w)
-    var best = Double.PositiveInfinity
-    var i = 0
-    while (i < r.mpA.length) { if (r.mpA(i) < best) best = r.mpA(i); i += 1 }
-    best
+    val plenA = a.length - w + 1
+    val plenB = b.length - w + 1
+    val (s1a, s2a) = windowSums(a, w)
+    val (s1b, s2b) = windowSums(b, w)
+    val wd = w.toDouble
+    def dens(s1: Array[Long], s2: Array[Long]): Array[Double] =
+      Array.tabulate(s1.length)(i =>
+        math.sqrt(math.max(s2(i).toDouble - s1(i).toDouble * s1(i).toDouble / wd, 0.0)))
+    val dena = dens(s1a, s2a)
+    val denb = dens(s1b, s2b)
+    var bestCorr = Double.NegativeInfinity
+    var bestDot = 0L
+    var bestI = 0
+    var bestJ = 0
+    var t = -(plenB - 1)
+    while (t < plenA) {
+      var i = math.max(0, t)
+      var j = i - t
+      var dot = 0L
+      var k = 0
+      while (k < w) { dot += a(i + k) * b(j + k); k += 1 }
+      var first = true
+      while (i < plenA && j < plenB) {
+        if (!first) dot += a(i + w - 1) * b(j + w - 1) - a(i - 1) * b(j - 1)
+        first = false
+        val corr =
+          if (dena(i) == 0.0 || denb(j) == 0.0) 0.0
+          else (dot.toDouble - s1a(i).toDouble * s1b(j).toDouble / wd) /
+            (dena(i) * denb(j))
+        if (corr > bestCorr) { bestCorr = corr; bestDot = dot; bestI = i; bestJ = j }
+        i += 1
+        j += 1
+      }
+      t += 1
+    }
+    if (bestCorr == Double.NegativeInfinity) Double.PositiveInfinity
+    else pairDist(bestDot, s1a(bestI), s2a(bestI), s1b(bestJ), s2b(bestJ), w)
   }
 
   /** Simplified top-k motif pairs with a SQL-expressible selection rule:

@@ -25,8 +25,9 @@ object QueryBench {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      graft.util.StageCache.release(spark)
       spark.catalog.clearCache()
-      println(f"[qbench] $name rep=$r rows=$n sec=$dt%.3f")
+      println(f"[qbench] $name rep=$r rows=$n sec=$dt%.3f load1=${graft.Bench.load1()}%.2f")
     }
     spark.stop()
   }

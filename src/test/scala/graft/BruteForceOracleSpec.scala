@@ -87,6 +87,28 @@ class BruteForceOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("abMinDist (hoisted-denominator max-corr sweep) is bit-identical " +
+      "to min over the full abProfile, incl. constant windows") {
+    val rng = new java.util.Random(77)
+    for (trial <- 1 to 12) {
+      val na = 40 + rng.nextInt(200)
+      val nb = 40 + rng.nextInt(200)
+      val w = Seq(4, 8, 16)(rng.nextInt(3))
+      val a = Array.fill(na)((rng.nextDouble() * 4e6).toLong)
+      val b = Array.fill(nb)((rng.nextDouble() * 4e6).toLong)
+      if (trial % 3 == 0) { // sigma=0 windows on both sides
+        java.util.Arrays.fill(a, 5, 5 + w, 777L)
+        java.util.Arrays.fill(b, 9, 9 + w, 777L)
+      }
+      val fast = graft.kernels.BruteMp.abMinDist(a, b, w)
+      val prof = graft.kernels.BruteMp.abProfile(a, b, w)
+      val slow = prof.mpA.min
+      assert(java.lang.Double.doubleToRawLongBits(fast) ==
+        java.lang.Double.doubleToRawLongBits(slow),
+        s"trial $trial na=$na nb=$nb w=$w: $fast != $slow")
+    }
+  }
+
   test("tiled skimp/stomp equal their unsplit kernels on random series " +
       "(randomized tile geometry)") {
     val rng = new java.util.Random(77)
