@@ -76,6 +76,37 @@ object LongSeriesBench {
       return
     }
 
+    if (algo == "skimp") {
+      // SKIMP / pan-matrix-profile at bench scale: ONE long series fanned
+      // out as (window x tile) tasks — the multi-window scaling evidence
+      // the per-user queries (q13/q32/q34, capped series) can't provide.
+      // `w` is reused as the window step; windows = w, 2w, ..., 8w.
+      val windows = (1 to 8).map(_ * w).toArray
+      val t0 = System.nanoTime()
+      val rows = DistributedMp.skimpProfiles(ds, windows, "raw",
+        splitThreshold = 1 << 15, tileSize = tile).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(rows.length == windows.length,
+        s"expected ${windows.length} PMP rows, got ${rows.length}")
+      val pairs = windows.map { ww =>
+        val plen = (n - ww + 1).toLong
+        val minlag = math.ceil(ww / 4.0).toLong
+        (plen - minlag - 1) * (plen - minlag) / 2
+      }.sum
+      val tasks = windows.map { ww =>
+        val tiles = math.ceil((n - ww + 1).toDouble / tile).toLong
+        tiles * (tiles + 1) / 2
+      }.sum
+      println(f"[long-series] algo=skimp n=$n windows=${windows.mkString(",")} " +
+        f"tile=$tile tasks~$tasks pairs=$pairs")
+      println(f"[long-series] wall=$sec%.1fs windows/s=${windows.length / sec}%.3f " +
+        f"pairs/s=${pairs / sec}%.3e min_mp=${rows.map(_.mp.min).min}%.4f")
+      println(f"[long-series] shuffle_read=${metrics.read / 1048576.0}%.1f MiB " +
+        f"shuffle_write=${metrics.written / 1048576.0}%.1f MiB")
+      spark.stop()
+      return
+    }
+
     if (algo == "snip") {
       val size = w // arg reuse: snippet size
       val padlen = (size * math.ceil(n.toDouble / size)).toLong

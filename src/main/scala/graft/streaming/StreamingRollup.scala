@@ -64,7 +64,17 @@ object StreamingRollup {
     * measures ~8 ms/window at H=16k under JTransforms' constants — no
     * better than brute at w=256; the recurrence is ~30 µs.) A window with
     * no admissible earlier partner (jEnd < 0) scores ∞, exactly as before.
+    *
+    * Drift bound: the rolling recurrence compounds rounding with chain
+    * length, so every [[ReseedEvery]] rows within one call the diagonals
+    * are RE-SEEDED by a fresh FFT convolution — chains never exceed 4096
+    * steps however many windows one micro-batch (or the bench's 16k-row
+    * batches) delivers. Amortized cost: one O(H log H) transform per 4096
+    * rows, noise vs the O(H) per-row sweep. The 16k-tail drift gate lives
+    * in StreamingSpec.
     */
+  val ReseedEvery = 4096
+
   def leftProfileScores(all: Array[Double], w: Int,
       fromWindow: Int): Seq[(Int, Double)] = {
     val plen = all.length - w + 1
@@ -82,7 +92,14 @@ object StreamingRollup {
       System.arraycopy(seed, 0, dots, 0, from + 1)
     }
     (from until plen).map { i =>
-      if (i > from) {
+      if (i > from && (i - from) % ReseedEvery == 0) {
+        // periodic exact-ish restart: recompute row i's dots wholesale so
+        // recurrence chains stay <= ReseedEvery steps (drift bound)
+        val seed = graft.kernels.Fft.fftConvolve(
+          java.util.Arrays.copyOfRange(all, 0, i + w),
+          java.util.Arrays.copyOfRange(all, i, i + w))
+        System.arraycopy(seed, 0, dots, 0, i + 1)
+      } else if (i > from) {
         // advance every diagonal one step: dot(i,j) = dot(i-1,j-1)
         //   + x[i+w-1]x[j+w-1] - x[i-1]x[j-1]
         val a = all(i + w - 1)

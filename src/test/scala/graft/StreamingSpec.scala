@@ -136,6 +136,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("16k-tail drift gate: one call over 16384 windows (the bench's batch " +
+      "shape) stays within 1e-8 of exact dots at sampled rows") {
+    val w = 64
+    var h = 7L
+    var acc = 0.0
+    val vals = Array.fill((1 << 14) + w) {
+      h = graft.ingest.TranscriptGen.splitmix64(h)
+      acc += (h & 0xffff).toDouble / 65536.0 - 0.5
+      acc
+    }
+    val plen = vals.length - w + 1
+    val minlag = math.ceil(w / 4.0).toInt
+    val (mu, sig) = graft.kernels.MovingStats.muinvn(vals, w)
+    def exactScore(i: Int): Double = {
+      var best = -1.0
+      for (j <- 0 to (i - minlag - 1)) {
+        var dot = 0.0
+        for (k <- 0 until w) dot += vals(i + k) * vals(j + k)
+        val corr = (dot - w * mu(i) * mu(j)) * sig(i) * sig(j)
+        if (corr > best) best = corr
+      }
+      math.sqrt(math.max(2.0 * w * (1.0 - math.min(best, 1.0)), 0.0))
+    }
+    val fast = StreamingRollup.leftProfileScores(vals, w, 0).toMap
+    // sample the longest chains: rows just before each re-seed boundary,
+    // just after, and the final rows of the 16k batch
+    val r = StreamingRollup.ReseedEvery
+    val probes = Seq(r - 1, r, r + 1, 2 * r - 1, 2 * r, 3 * r - 1,
+      plen - 3, plen - 2, plen - 1).filter(i => i >= minlag + 1 && i < plen)
+    probes.foreach { i =>
+      val d = fast(i)
+      val e = exactScore(i)
+      assert(math.abs(d - e) < 1e-8, s"pos $i: incremental $d vs exact $e")
+    }
+  }
+
   test("streaming left profile rejects cross-batch late arrivals: " +
       "incremental == batch over the accepted in-order stream") {
     import spark.implicits._
