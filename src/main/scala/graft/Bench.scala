@@ -104,10 +104,11 @@ object Bench {
   val LoadLimit = 2.0
   val SpreadLimit = 2.0
 
-  def measureQuery(name: String, warmReps: Int, maxExtra: Int)
+  def measureQuery(name: String, warmReps: Int, maxExtra: Int,
+      loadSampler: () => Double = () => load1())
       (run: () => Unit)(cleanup: () => Unit = () => ()): QResult = {
     def rep(): Rep = {
-      val ld = load1()
+      val ld = loadSampler()
       val t0 = System.nanoTime()
       try run() catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9 // cleanup is untimed

@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   * the 1-minute host load recorded before each trial — and reports
   * best-of per level plus efficiency = (tp@4N / tp@N) / (4N/N).
   *
+  * Under SUSTAINED external contention best-of is biased LOW: load that
+  * leaves (32 - load) free cores barely slows a local[4] trial but
+  * starves a local[16] one, so the lo-side best keeps improving while
+  * the hi-side best can't — the r5 sessions measured this directly
+  * (external bursts of 7–13 for most trials). The JSON therefore also
+  * reports a cleanest-PAIR efficiency: the single interleaved round
+  * whose worst trial-load is lowest, with that load attached — the
+  * reader picks the estimator whose recording conditions they accept.
+  *
   * Env: SPARK_GRAFT_CPUS_LO (4), SPARK_GRAFT_CPUS_HI (16),
   * SPARK_GRAFT_BENCH_CONVS, SPARK_GRAFT_BENCH_TURNS_SCALE,
   * SPARK_GRAFT_BENCH_TRIALS (interleaved rounds per level).
@@ -68,6 +77,21 @@ object ScalingBench {
     val effRollup = (rLo.rollupSec / rHi.rollupSec) / factor
     val effMp = (mLo.mpSec / mHi.mpSec) / factor
 
+    // cleanest interleaved round: both trials of one round share a noise
+    // window; pick the round whose WORST pre-trial load is lowest. Round 1
+    // is excluded — it is always JIT-cold on both levels (unequally, so
+    // its ratio is meaningless) — unless it is the only round.
+    val byRound = trials.groupBy(_.round).collect {
+      case (rd, ts) if (rd > 1 || rounds == 1) &&
+          ts.exists(_.cpus == lo) && ts.exists(_.cpus == hi) =>
+        val tLo = ts.find(_.cpus == lo).get
+        val tHi = ts.find(_.cpus == hi).get
+        (rd, tLo, tHi, math.max(tLo.load, tHi.load))
+    }.toSeq
+    val (cleanRd, cLo, cHi, cLoad) = byRound.minBy(_._4)
+    val effRollupPair = (cLo.rollupSec / cHi.rollupSec) / factor
+    val effMpPair = (cLo.mpSec / cHi.mpSec) / factor
+
     val rows = trials.map(t =>
       f"""{"cpus":${t.cpus},"round":${t.round},"load":${t.load}%.2f,""" +
         f""""rollup_sec":${t.rollupSec}%.3f,"mp_sec":${t.mpSec}%.3f}""").mkString(",")
@@ -79,6 +103,9 @@ object ScalingBench {
       f""""mp_sps_lo":${mLo.subseq / mLo.mpSec}%.0f,""" +
       f""""mp_sps_hi":${mHi.subseq / mHi.mpSec}%.0f,""" +
       f""""efficiency_rollup":$effRollup%.3f,"efficiency_mp":$effMp%.3f,""" +
+      f""""cleanest_round":$cleanRd,"cleanest_round_load":$cLoad%.2f,""" +
+      f""""efficiency_rollup_cleanpair":$effRollupPair%.3f,""" +
+      f""""efficiency_mp_cleanpair":$effMpPair%.3f,""" +
       f""""trials":[$rows]}""")
   }
 }

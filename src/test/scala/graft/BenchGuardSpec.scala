@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit gates for Bench's contamination guard (no SparkSession): the
+  * artifact-of-record logic that decides which warm number gets reported
+  * must be deterministic and honest about its conditions.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  /** Drives measureQuery with scripted (duration, load) reps: each rep
+    * burns `durMs` via a monotonic spin so the measured seconds track the
+    * script closely enough for ordering assertions.
+    */
+  private def scripted(reps: Seq[(Int, Double)], warmReps: Int,
+      maxExtra: Int): Bench.QResult = {
+    val it = Iterator(reps: _*) ++ Iterator.continually(reps.last)
+    var cur: (Int, Double) = null
+    Bench.measureQuery("t", warmReps, maxExtra,
+      loadSampler = () => { cur = it.next(); cur._2 }) { () =>
+      val until = System.nanoTime() + cur._1.toLong * 1000000L
+      while (System.nanoTime() < until) {}
+    }()
+  }
+
+  test("clean run reports the true median and zero extra reps") {
+    // cold 60ms, warm 20/30/25 at load 1 -> median 25ms, stat "median"
+    val r = scripted(Seq((60, 1.0), (20, 1.0), (30, 1.0), (25, 1.0)),
+      warmReps = 3, maxExtra = 3)
+    assert(r.stat == "median")
+    assert(r.extraReps == 0)
+    assert(r.warm > 0.020 && r.warm < 0.030, s"median should be ~25ms, got ${r.warm}")
+    assert(r.cold.sec >= 0.055, s"cold should be ~60ms, got ${r.cold.sec}")
+    assert(r.loadMax == 1.0)
+  }
+
+  test("a loaded warm rep triggers extra reps and the min-load rep wins") {
+    // warm reps at loads 5, 5, 5 then extras at load 1 -> minload stat,
+    // the load-1 rep's duration reported, extras counted
+    val r = scripted(Seq((10, 1.0), (50, 5.0), (55, 5.0), (52, 5.0),
+      (15, 1.0)), warmReps = 3, maxExtra = 3)
+    assert(r.stat == "minload")
+    assert(r.extraReps >= 1)
+    assert(r.warm < 0.030, s"the load-1 extra rep (~15ms) should win, got ${r.warm}")
+    assert(r.loadMax == 5.0)
+  }
+
+  test("a >2x warm spread triggers the guard even at low load") {
+    val r = scripted(Seq((10, 1.0), (10, 1.0), (45, 1.0), (12, 1.0),
+      (11, 1.0)), warmReps = 3, maxExtra = 2)
+    assert(r.stat == "minload")
+    assert(r.extraReps >= 1)
+  }
+
+  test("extra reps are capped at maxExtra") {
+    // permanently loaded: guard fires but gives up after maxExtra
+    val r = scripted(Seq((5, 9.0), (5, 9.0), (5, 9.0), (5, 9.0),
+      (5, 9.0), (5, 9.0), (5, 9.0)), warmReps = 3, maxExtra = 2)
+    assert(r.extraReps == 2)
+    assert(r.stat == "minload")
+  }
+
+  test("zero warm reps falls back to the cold number") {
+    val r = scripted(Seq((10, 1.0)), warmReps = 0, maxExtra = 3)
+    assert(r.stat == "cold")
+    assert(r.warm == r.cold.sec)
+  }
+}
