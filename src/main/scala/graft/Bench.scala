@@ -122,14 +122,25 @@ object Bench {
         rs.map(_.sec).max > SpreadLimit * rs.map(_.sec).min)
     var extra = 0
     val triggered = contaminated(warm)
-    while (extra < maxExtra && contaminated(warm)) {
-      warm :+= rep()
-      extra += 1
+    if (triggered) {
+      // re-run until ONE rep lands under the load limit (that rep will be
+      // the minload winner — further extras only waste battery time), up
+      // to maxExtra; a failed load read (-1) is unknown, not clean
+      var clean = false
+      while (extra < maxExtra && !clean) {
+        val r = rep()
+        warm :+= r
+        extra += 1
+        clean = r.load >= 0 && r.load <= LoadLimit
+      }
     }
+    // a -1 load sentinel (unreadable /proc/loadavg) must sort as UNKNOWN,
+    // never as the cleanest rep
+    def loadKey(r: Rep): Double = if (r.load < 0) Double.MaxValue else r.load
     val (warmVal, stat) =
       if (warm.isEmpty) (cold.sec, "cold")
-      else if (triggered || extra > 0)
-        (warm.minBy(r => (r.load, r.sec)).sec, "minload")
+      else if (triggered)
+        (warm.minBy(r => (loadKey(r), r.sec)).sec, "minload")
       else {
         val s = warm.map(_.sec).sorted
         (s((s.length - 1) / 2), if (warm.length >= 3) "median" else "best")
@@ -203,8 +214,9 @@ object Bench {
     // pipeline legs: rep 1 is the round-over-round-comparable cold number
     // (identical harness to r01-r03); further reps give the warm best.
     // Each rep's pre-sampled load is emitted so a contaminated rep is
-    // visible in the artifact; one extra rep runs if any warm rep was
-    // recorded over the load limit.
+    // visible in the artifact; one extra rep runs only if EVERY warm rep
+    // was recorded over the load limit (one clean rep already supplies
+    // the best-of).
     val pipelineReps = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPS", "2").toInt
     var pipeLoads = Vector.empty[Double]
     def pipeRep(first: Boolean): (Long, Long, Long, Double, Double, Double) = {

@@ -21,22 +21,32 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    // one plan build per query: the same digests print AND (if asked)
+    // write — rebuilding for the file would re-run every builder's
+    // plan-time jobs and ignore the prefix
+    val digests = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.startsWith(prefix))
-      .foreach { case (name, fn) =>
-        try {
-          val df = fn(spark, sfDir)
-          val d = PlanDigest.of(df)
-          println(s"=== $name: exchanges=${d.exchanges} " +
-            s"broadcasts=${d.broadcasts} scans=${d.scans} " +
-            s"codegenSpans=${d.codegenSpans} pushedFilters=${d.pushedFilters}")
-          if (sys.env.contains("GRAFT_EXPLAIN_FULL"))
-            println(df.queryExecution.explainString(
-              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-        } catch { case e: Throwable => println(s"=== $name: ERROR ${e.getMessage}") }
+      .map { case (name, fn) =>
+        val json =
+          try {
+            val df = fn(spark, sfDir)
+            val d = PlanDigest.of(df)
+            println(s"=== $name: exchanges=${d.exchanges} " +
+              s"broadcasts=${d.broadcasts} scans=${d.scans} " +
+              s"codegenSpans=${d.codegenSpans} pushedFilters=${d.pushedFilters}")
+            if (sys.env.contains("GRAFT_EXPLAIN_FULL"))
+              println(df.queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+            d.json
+          } catch { case e: Throwable =>
+            println(s"=== $name: ERROR ${e.getMessage}")
+            s"""{"error":"${e.getClass.getSimpleName}"}"""
+          }
         graft.util.StageCache.release(spark)
+        "\"" + name + "\":" + json
       }
-    out.foreach(p => PlanDigest.writeAll(spark, sfDir, p))
+    out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      digests.mkString("{\n", ",\n", "\n}\n")))
     spark.stop()
   }
 }

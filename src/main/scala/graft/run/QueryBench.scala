@@ -22,12 +22,15 @@ object QueryBench {
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
     for (r <- 1 to reps) {
+      // sample load BEFORE the rep: read after, the 1-minute average
+      // mostly echoes this process's own just-finished usage
+      val ld = graft.Bench.load1()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       graft.util.StageCache.release(spark)
       spark.catalog.clearCache()
-      println(f"[qbench] $name rep=$r rows=$n sec=$dt%.3f load1=${graft.Bench.load1()}%.2f")
+      println(f"[qbench] $name rep=$r rows=$n sec=$dt%.3f load1=$ld%.2f")
     }
     spark.stop()
   }

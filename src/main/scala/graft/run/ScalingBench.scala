@@ -26,9 +26,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
-  private def load1: Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+  private def load1: Double = graft.Bench.load1() // shared sentinel rules
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
