@@ -160,22 +160,35 @@ object Similarity {
     * Scale shape: assignment is a broadcast nested-loop of the corpus
     * against kCells centroids — cost n·kCells·dim map-side, no corpus
     * shuffle; each Lloyd update is one (cell, dim) aggregation. At 100 TB
-    * the standard refinements compose on top without changing the plan
-    * shapes: train the centroids on a sample (the update aggregation over
-    * a `.sample` of the corpus), raise kCells toward √n with nprobe
-    * proportional, and keep the full corpus pass to the single final
-    * assignment.
+    * train the centroids on a sample: `trainFraction < 1` restricts the
+    * Lloyd-update aggregations to a deterministic md5-keyed subset of the
+    * corpus (hash-filtered, so the index is identical under any input
+    * partitioning — `.sample` is not), while the returned cell assignment
+    * still covers EVERY row; raise kCells toward √n with nprobe
+    * proportional. RecallSpec gates that a half-sample-trained index
+    * keeps its recall on clustered data.
     */
   def ivfCells(embeds: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", kCells: Int = 16,
-      lloydRounds: Int = 2): (DataFrame, DataFrame) = {
+      lloydRounds: Int = 2, trainFraction: Double = 1.0): (DataFrame, DataFrame) = {
     val spark = embeds.sparkSession
     // the quantized projection feeds the seed sample, every assignment
     // round and every Lloyd update — persist it so the corpus scans once,
     // not per consumer (same cache lifecycle as the Dedup signature stages)
     val vecs = graft.util.StageCache.persist(
       embeds.select(col(idCol), quantize(col(vecCol)).as("qv")))
-    val cand = vecs
+    // training subset for the Lloyd updates: md5-keyed hash filter (first
+    // 8 hex chars as a uniform draw in [0, 2^32)) — deterministic and
+    // partition-invariant, unlike Dataset.sample; 1.0 trains on everything
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val train =
+      if (trainFraction >= 1.0) vecs
+      else vecs.where(
+        conv(substring(md5(concat(lit("ivftrain:"), col(idCol).cast("string"))),
+          1, 8), 16, 10).cast("long") <
+          (trainFraction * 4294967296.0).toLong)
+    val cand = train
       .withColumn("mk", md5(concat(lit("ivf:"), col(idCol).cast("string"))))
       .orderBy($"mk", col(idCol))
       .limit(4 * kCells)
@@ -214,13 +227,13 @@ object Similarity {
           org.apache.spark.sql.Row(cell, cand(ci)._2.map(_.toDouble).toSeq)
       }: _*), centSchema)
     for (_ <- 1 to lloydRounds) {
-      val a = assignCells(vecs, cents, idCol)
+      val a = assignCells(train, cents, idCol)
       // Lloyd update: per-dim integer sums -> double means (one shared
       // division expression per component in both engines); persisted
       // because the next round's assignment, the final assignment and the
       // probe side all consume it — 16 rows, but computing it is a full
-      // corpus aggregation
-      cents = graft.util.StageCache.persist(a.join(vecs, Seq(idCol))
+      // training-set aggregation
+      cents = graft.util.StageCache.persist(a.join(train, Seq(idCol))
         .select($"cell", posexplode($"qv").as(Seq("pos", "v")))
         .groupBy($"cell", $"pos")
         .agg(sum($"v").as("s"), count(lit(1)).as("cnt"))
@@ -238,8 +251,10 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      kCells: Int = 16, nprobe: Int = 2, lloydRounds: Int = 2): DataFrame = {
-    val (cells, cents) = ivfCells(corpus, idCol, vecCol, kCells, lloydRounds)
+      kCells: Int = 16, nprobe: Int = 2, lloydRounds: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
+    val (cells, cents) =
+      ivfCells(corpus, idCol, vecCol, kCells, lloydRounds, trainFraction)
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
       quantize(col(vecCol)).as("qv"))
     val pw = org.apache.spark.sql.expressions.Window

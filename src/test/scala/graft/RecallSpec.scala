@@ -233,6 +233,22 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"IVF clustered recall@10 = ${recall * 10}%.2f / 10 (2 of 16 cells probed)")
     assert(recall >= 0.8,
       s"IVF recall@10 $recall < 0.8 at a 2-of-16-cell probe on clustered data")
+    // the 100 TB training path: centroids trained on a deterministic
+    // md5-keyed half-sample, every row still assigned — recall must hold
+    val ivfHalf = Similarity.ivfTopK(df, q, 10, kCells = 16, nprobe = 2,
+      trainFraction = 0.5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recallHalf = brute.count(ivfHalf.contains).toDouble / brute.size
+    info(f"IVF half-sample-trained recall@10 = ${recallHalf * 10}%.2f / 10")
+    assert(recallHalf >= 0.8,
+      s"half-sample-trained IVF recall@10 $recallHalf < 0.8")
+    // sample-trained index must be partition-invariant too (hash filter,
+    // not Dataset.sample)
+    val ivfHalfRepart = Similarity.ivfTopK(df.repartition(7), q, 10,
+      kCells = 16, nprobe = 2, trainFraction = 0.5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfHalfRepart == ivfHalf,
+      "sample-trained IVF must be invariant to input partitioning")
     graft.util.StageCache.release(spark)
   }
 }
