@@ -86,67 +86,95 @@ object Bench {
     scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
   } catch { case _: Throwable => -1.0 }
 
-  /** One timed rep: (seconds, load1 sampled immediately before). */
-  final case class Rep(sec: Double, load: Double)
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line. Load
+    * average only sees THIS VM's runqueue; on a shared host the
+    * hypervisor can starve the VM with nothing visible in loadavg —
+    * steal time measured ACROSS a rep is the direct evidence (r5 saw a
+    * local[4] trial take 288 s at pre-trial load 0.5).
+    */
+  def cpuJiffies(): (Long, Long) = try {
+    val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+      .next().trim.split("\\s+")
+    val vals = parts.drop(1).map(_.toLong)
+    (if (vals.length > 7) vals(7) else 0L, vals.sum)
+  } catch { case _: Throwable => (-1L, -1L) }
 
-  /** Per-query outcome: cold rep, chosen warm stat, max load seen across
-    * all reps, extra reps run by the contamination guard, and which stat
-    * was used ("median" on a clean run, "minload" when the guard fired).
+  /** One timed rep: seconds, load1 sampled immediately before, and the
+    * fraction of CPU time the hypervisor stole DURING the rep (-1 when
+    * /proc/stat is unreadable).
+    */
+  final case class Rep(sec: Double, load: Double, steal: Double)
+
+  /** Per-query outcome: cold rep, chosen warm stat, max load and max
+    * steal fraction seen across all reps, extra reps run by the
+    * contamination guard, and which stat was used ("median" on a clean
+    * run, "minload" when the guard fired).
     */
   final case class QResult(name: String, cold: Rep, warm: Double,
-      loadMax: Double, extraReps: Int, stat: String)
+      loadMax: Double, stealMax: Double, extraReps: Int, stat: String)
 
   /** Contamination guard thresholds: a warm rep landing on a loaded host
-    * (load1 > LoadLimit) or warm reps spreading more than SpreadLimit×
-    * trigger extra reps; the reported warm number is then the rep recorded
-    * at the lowest load (ties → fastest), not a median over garbage.
+    * (load1 > LoadLimit), a rep with more than StealLimit of its CPU
+    * stolen by the hypervisor, or warm reps spreading more than
+    * SpreadLimit× trigger extra reps; the reported warm number is then
+    * the rep recorded under the least contention (lowest steal, then
+    * lowest load, ties → fastest), not a median over garbage.
     */
   val LoadLimit = 2.0
   val SpreadLimit = 2.0
+  val StealLimit = 0.05
 
   def measureQuery(name: String, warmReps: Int, maxExtra: Int,
-      loadSampler: () => Double = () => load1())
+      loadSampler: () => Double = () => load1(),
+      jiffySampler: () => (Long, Long) = () => cpuJiffies())
       (run: () => Unit)(cleanup: () => Unit = () => ()): QResult = {
     def rep(): Rep = {
       val ld = loadSampler()
+      val (s0, t0j) = jiffySampler()
       val t0 = System.nanoTime()
       try run() catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9 // cleanup is untimed
+      val (s1, t1j) = jiffySampler()
+      val steal =
+        if (s0 < 0 || s1 < 0 || t1j <= t0j) -1.0
+        else (s1 - s0).toDouble / (t1j - t0j)
       try cleanup() catch { case _: Throwable => () }
-      Rep(dt, ld)
+      Rep(dt, ld, steal)
     }
     val cold = rep()
     var warm = Vector.tabulate(math.max(0, warmReps))(_ => rep())
     def contaminated(rs: Seq[Rep]): Boolean = rs.nonEmpty && (
-      rs.exists(_.load > LoadLimit) ||
+      rs.exists(r => r.load > LoadLimit || r.steal > StealLimit) ||
         rs.map(_.sec).max > SpreadLimit * rs.map(_.sec).min)
     var extra = 0
     val triggered = contaminated(warm)
     if (triggered) {
-      // re-run until ONE rep lands under the load limit (that rep will be
+      // re-run until ONE rep lands under both limits (that rep will be
       // the minload winner — further extras only waste battery time), up
-      // to maxExtra; a failed load read (-1) is unknown, not clean
+      // to maxExtra; a failed load/steal read (-1) is unknown, not clean
       var clean = false
       while (extra < maxExtra && !clean) {
         val r = rep()
         warm :+= r
         extra += 1
-        clean = r.load >= 0 && r.load <= LoadLimit
+        clean = r.load >= 0 && r.load <= LoadLimit &&
+          r.steal >= 0 && r.steal <= StealLimit
       }
     }
-    // a -1 load sentinel (unreadable /proc/loadavg) must sort as UNKNOWN,
-    // never as the cleanest rep
-    def loadKey(r: Rep): Double = if (r.load < 0) Double.MaxValue else r.load
+    // a -1 sentinel (unreadable /proc) must sort as UNKNOWN, never as
+    // the cleanest rep
+    def key(v: Double): Double = if (v < 0) Double.MaxValue else v
     val (warmVal, stat) =
       if (warm.isEmpty) (cold.sec, "cold")
       else if (triggered)
-        (warm.minBy(r => (loadKey(r), r.sec)).sec, "minload")
+        (warm.minBy(r => (key(r.steal), key(r.load), r.sec)).sec, "minload")
       else {
         val s = warm.map(_.sec).sorted
         (s((s.length - 1) / 2), if (warm.length >= 3) "median" else "best")
       }
     val loadMax = (cold +: warm).map(_.load).max
-    QResult(name, cold, warmVal, loadMax, extra, stat)
+    val stealMax = (cold +: warm).map(_.steal).max
+    QResult(name, cold, warmVal, loadMax, stealMax, extra, stat)
   }
 
   def main(args: Array[String]): Unit = {
@@ -203,6 +231,7 @@ object Bench {
     val qs = jmap(r => f"${r.cold.sec}%.3f")
     val qsWarm = jmap(r => f"${r.warm}%.3f")
     val qsLoad = jmap(r => f"${r.loadMax}%.2f")
+    val qsSteal = jmap(r => f"${r.stealMax}%.3f")
     val qsExtra = jmap(r => s"${r.extraReps}")
     val qsStat = jmap(r => "\"" + r.stat + "\"")
     val total = results.map(_.cold.sec).sum
@@ -219,11 +248,16 @@ object Bench {
     // the best-of).
     val pipelineReps = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPS", "2").toInt
     var pipeLoads = Vector.empty[Double]
+    var pipeSteals = Vector.empty[Double]
     def pipeRep(first: Boolean): (Long, Long, Long, Double, Double, Double) = {
       pipeLoads :+= load1()
+      val (s0, t0j) = cpuJiffies()
       // the generic-rollup comparison leg informs plan choice, not warm
       // timing — run it once
       val r = pipelineBench(spark, benchConvs, turnsScale, withGeneric = first)
+      val (s1, t1j) = cpuJiffies()
+      pipeSteals :+= (if (s0 < 0 || s1 < 0 || t1j <= t0j) -1.0
+        else (s1 - s0).toDouble / (t1j - t0j))
       graft.util.StageCache.release(spark)
       spark.catalog.clearCache()
       r
@@ -241,10 +275,12 @@ object Bench {
     val pointsPerSecGeneric = nPoints / genericSec
     val subseqPerSec = nSubseq / mpSec
     val pipeLoadJson = pipeLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val pipeStealJson = pipeSteals.map(s => f"$s%.3f").mkString("[", ",", "]")
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""$warmKey":$qsWarm,"total_warm":$totalWarm%.3f,""" +
-      f""""queries_load1":$qsLoad,"queries_extra_reps":$qsExtra,""" +
+      f""""queries_load1":$qsLoad,"queries_steal_pct":$qsSteal,""" +
+      f""""queries_extra_reps":$qsExtra,""" +
       f""""queries_warm_stat":$qsStat,""" +
       f""""warm_reps":$warmReps,"host_load1":$startLoad%.2f,""" +
       f""""sf":"$sfDir","cpus":$cpus,"bench_convs":$benchConvs,""" +
@@ -254,7 +290,7 @@ object Bench {
       f""""points_per_sec_generic":$pointsPerSecGeneric%.0f,""" +
       f""""mp_subsequences":$nSubseq,"mp_sec":$mpSec%.3f,""" +
       f""""subseq_per_sec":$subseqPerSec%.0f,""" +
-      f""""pipeline_load1":$pipeLoadJson,""" +
+      f""""pipeline_load1":$pipeLoadJson,"pipeline_steal_pct":$pipeStealJson,""" +
       f""""rollup_sec_warm":$rollupWarm%.3f,"mp_sec_warm":$mpWarm%.3f,""" +
       f""""points_per_sec_warm":${nPoints / rollupWarm}%.0f,""" +
       f""""subseq_per_sec_warm":${nSubseq / mpWarm}%.0f}""")

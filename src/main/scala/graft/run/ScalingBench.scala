@@ -42,7 +42,8 @@ object ScalingBench {
   }
 
   final case class Trial(cpus: Int, round: Int, load: Double,
-      rollupSec: Double, mpSec: Double, points: Long, subseq: Long)
+      steal: Double, rollupSec: Double, mpSec: Double, points: Long,
+      subseq: Long)
 
   def main(args: Array[String]): Unit = {
     val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "4").toInt
@@ -55,11 +56,15 @@ object ScalingBench {
     for (round <- 1 to rounds; cpus <- Seq(lo, hi)) {
       val spark = session(cpus)
       val ld = load1
+      val (s0, t0j) = graft.Bench.cpuJiffies()
       // scaling trials time the headline colocated plan only
       val r = graft.Bench.pipelineBench(spark, convs, turnsScale, withGeneric = false)
-      trials += Trial(cpus, round, ld, r._4, r._6, r._1, r._3)
+      val (s1, t1j) = graft.Bench.cpuJiffies()
+      val steal = if (s0 < 0 || s1 < 0 || t1j <= t0j) -1.0
+        else (s1 - s0).toDouble / (t1j - t0j)
+      trials += Trial(cpus, round, ld, steal, r._4, r._6, r._1, r._3)
       System.err.println(f"[scaling] round=$round cpus=$cpus load=$ld%.1f " +
-        f"rollup=${r._4}%.2fs mp=${r._6}%.2fs")
+        f"steal=$steal%.3f rollup=${r._4}%.2fs mp=${r._6}%.2fs")
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -84,14 +89,19 @@ object ScalingBench {
           ts.exists(_.cpus == lo) && ts.exists(_.cpus == hi) =>
         val tLo = ts.find(_.cpus == lo).get
         val tHi = ts.find(_.cpus == hi).get
-        (rd, tLo, tHi, math.max(tLo.load, tHi.load))
+        def sk(t: Trial) = if (t.steal < 0) 1.0 else t.steal
+        (rd, tLo, tHi, math.max(tLo.load, tHi.load),
+          math.max(sk(tLo), sk(tHi)))
     }.toSeq
-    val (cleanRd, cLo, cHi, cLoad) = byRound.minBy(_._4)
+    // least-stolen round first (steal is the direct contention measure),
+    // load as the tie-breaker
+    val (cleanRd, cLo, cHi, cLoad, _) = byRound.minBy(t => (t._5, t._4))
     val effRollupPair = (cLo.rollupSec / cHi.rollupSec) / factor
     val effMpPair = (cLo.mpSec / cHi.mpSec) / factor
 
     val rows = trials.map(t =>
       f"""{"cpus":${t.cpus},"round":${t.round},"load":${t.load}%.2f,""" +
+        f""""steal_pct":${t.steal}%.3f,""" +
         f""""rollup_sec":${t.rollupSec}%.3f,"mp_sec":${t.mpSec}%.3f}""").mkString(",")
     println(f"""{"bench":"scaling_interleaved","cpus_lo":$lo,"cpus_hi":$hi,""" +
       f""""convs":$convs,"turns_scale":$turnsScale,"rounds":$rounds,""" +
