@@ -99,19 +99,35 @@ object Bench {
     (if (vals.length > 7) vals(7) else 0L, vals.sum)
   } catch { case _: Throwable => (-1L, -1L) }
 
-  /** One timed rep: seconds, load1 sampled immediately before, and the
+  /** One timed rep: seconds, load1 sampled immediately before, the
     * fraction of CPU time the hypervisor stole DURING the rep (-1 when
-    * /proc/stat is unreadable).
+    * /proc/stat is unreadable), and the error if run() threw — a broken
+    * query must never masquerade as a fast one in the artifact of record.
     */
-  final case class Rep(sec: Double, load: Double, steal: Double)
+  final case class Rep(sec: Double, load: Double, steal: Double,
+      err: Option[String] = None)
 
-  /** Per-query outcome: cold rep, chosen warm stat, max load and max
-    * steal fraction seen across all reps, extra reps run by the
-    * contamination guard, and which stat was used ("median" on a clean
-    * run, "minload" when the guard fired).
+  /** A rep recorded under both guard limits with READABLE samplers; a -1
+    * sentinel is unknown conditions, never clean.
+    */
+  def isClean(r: Rep): Boolean =
+    r.load >= 0 && r.load <= LoadLimit && r.steal >= 0 && r.steal <= StealLimit
+
+  /** Per-query outcome: cold rep, chosen warm stat, the rep BEHIND the
+    * warm stat (so the battery can tell whether the guard ever landed a
+    * clean rep), max load and max steal fraction seen across all reps,
+    * extra reps run by the contamination guard, which stat was used
+    * ("median" on a clean run, "minload" when the guard fired), and the
+    * first error any rep threw.
     */
   final case class QResult(name: String, cold: Rep, warm: Double,
-      loadMax: Double, stealMax: Double, extraReps: Int, stat: String)
+      loadMax: Double, stealMax: Double, extraReps: Int, stat: String,
+      chosen: Rep, err: Option[String]) {
+    /** True when the reported warm number was recorded under both guard
+      * limits — the battery-level retry requeues rows where this is false.
+      */
+    def chosenClean: Boolean = isClean(chosen)
+  }
 
   /** Contamination guard thresholds: a warm rep landing on a loaded host
     * (load1 > LoadLimit), a rep with more than StealLimit of its CPU
@@ -132,14 +148,18 @@ object Bench {
       val ld = loadSampler()
       val (s0, t0j) = jiffySampler()
       val t0 = System.nanoTime()
-      try run() catch { case _: Throwable => () }
+      val err = try { run(); None } catch {
+        case e: Throwable =>
+          Some((e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(160))
+      }
       val dt = (System.nanoTime() - t0) / 1e9 // cleanup is untimed
       val (s1, t1j) = jiffySampler()
       val steal =
         if (s0 < 0 || s1 < 0 || t1j <= t0j) -1.0
         else (s1 - s0).toDouble / (t1j - t0j)
       try cleanup() catch { case _: Throwable => () }
-      Rep(dt, ld, steal)
+      Rep(dt, ld, steal, err)
     }
     val cold = rep()
     var warm = Vector.tabulate(math.max(0, warmReps))(_ => rep())
@@ -151,30 +171,36 @@ object Bench {
     if (triggered) {
       // re-run until ONE rep lands under both limits (that rep will be
       // the minload winner — further extras only waste battery time), up
-      // to maxExtra; a failed load/steal read (-1) is unknown, not clean
+      // to maxExtra; a failed load/steal read (-1) is unknown, not clean,
+      // and when BOTH samplers are permanently blind the loop can never
+      // prove cleanliness — stop after one extra instead of burning the
+      // full budget on unknowable conditions
       var clean = false
-      while (extra < maxExtra && !clean) {
+      var blind = false
+      while (extra < maxExtra && !clean && !blind) {
         val r = rep()
         warm :+= r
         extra += 1
-        clean = r.load >= 0 && r.load <= LoadLimit &&
-          r.steal >= 0 && r.steal <= StealLimit
+        clean = isClean(r)
+        blind = r.load < 0 && r.steal < 0
       }
     }
     // a -1 sentinel (unreadable /proc) must sort as UNKNOWN, never as
     // the cleanest rep
     def key(v: Double): Double = if (v < 0) Double.MaxValue else v
-    val (warmVal, stat) =
-      if (warm.isEmpty) (cold.sec, "cold")
+    val (chosen, stat) =
+      if (warm.isEmpty) (cold, "cold")
       else if (triggered)
-        (warm.minBy(r => (key(r.steal), key(r.load), r.sec)).sec, "minload")
+        (warm.minBy(r => (key(r.steal), key(r.load), r.sec)), "minload")
       else {
-        val s = warm.map(_.sec).sorted
+        val s = warm.sortBy(_.sec)
         (s((s.length - 1) / 2), if (warm.length >= 3) "median" else "best")
       }
     val loadMax = (cold +: warm).map(_.load).max
     val stealMax = (cold +: warm).map(_.steal).max
-    QResult(name, cold, warmVal, loadMax, stealMax, extra, stat)
+    val firstErr = (cold +: warm).flatMap(_.err).headOption
+    QResult(name, cold, chosen.sec, loadMax, stealMax, extra, stat,
+      chosen, firstErr)
   }
 
   def main(args: Array[String]): Unit = {
@@ -213,19 +239,49 @@ object Bench {
         catch { case _: Throwable => }
       }
     }
-    val results =
+    def runQuery(name: String): QResult =
+      measureQuery(name, warmReps, maxExtra) { () =>
+        SparkEntry.queries(name)(spark, sfDir).count()
+      } { () =>
+        // queries persist shared intermediates (LSH signatures, quantized
+        // series) — drop them so no rep ever reads another's cache;
+        // untimed so the release cost never pollutes the measurement
+        graft.util.StageCache.release(spark)
+        spark.catalog.clearCache()
+      }
+    var results =
       if (skipQueries) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        measureQuery(name, warmReps, maxExtra) { () =>
-          fn(spark, sfDir).count()
-        } { () =>
-          // queries persist shared intermediates (LSH signatures, quantized
-          // series) — drop them so no rep ever reads another's cache;
-          // untimed so the release cost never pollutes the measurement
-          graft.util.StageCache.release(spark)
-          spark.catalog.clearCache()
+      else SparkEntry.queries.keys.toSeq.sorted.map(runQuery)
+
+    // Battery-level retry (r5 verdict #1): a query whose guard exhausted
+    // its extras without ever landing a clean rep reports the least-bad
+    // contaminated rep — correct behavior, but not a comparable number.
+    // Requeue exactly those rows ONCE after a cool-down (wait for load1
+    // to drop under the limit, bounded), keeping the original cold (the
+    // retry runs in a warmed JVM so its first rep is not a cold number)
+    // and whichever run's chosen warm rep was recorded cleaner.
+    var retriedNames = Vector.empty[String]
+    val dirty = results.filter(r => r.stat == "minload" && !r.chosenClean)
+      .map(_.name).toSet
+    if (dirty.nonEmpty && !sys.env.contains("SPARK_GRAFT_NO_BATTERY_RETRY")) {
+      val deadline = System.nanoTime() +
+        sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_SEC", "180").toLong * 1000000000L
+      while (load1() > LoadLimit && System.nanoTime() < deadline)
+        Thread.sleep(10000)
+      def cleanKey(q: QResult): (Int, Double, Double) = (
+        if (q.chosenClean) 0 else 1,
+        if (q.chosen.steal < 0) Double.MaxValue else q.chosen.steal,
+        if (q.chosen.load < 0) Double.MaxValue else q.chosen.load)
+      results = results.map { r =>
+        if (!dirty.contains(r.name)) r
+        else {
+          retriedNames :+= r.name
+          val rr = runQuery(r.name)
+          if (Ordering[(Int, Double, Double)].lt(cleanKey(rr), cleanKey(r)))
+            rr.copy(cold = r.cold) else r
         }
       }
+    }
     def jmap(f: QResult => String): String =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jmap(r => f"${r.cold.sec}%.3f")
@@ -234,6 +290,14 @@ object Bench {
     val qsSteal = jmap(r => f"${r.stealMax}%.3f")
     val qsExtra = jmap(r => s"${r.extraReps}")
     val qsStat = jmap(r => "\"" + r.stat + "\"")
+    val qsClean = jmap(r => s"${r.chosenClean}")
+    val qErrors = results.filter(_.err.nonEmpty)
+      .map(r => "\"" + r.name + "\":\"" +
+        r.err.get.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("{", ",", "}")
+    val nErrors = results.count(_.err.nonEmpty)
+    val batteryClean = results.forall(r => r.stat != "minload" || r.chosenClean)
+    val retriedJson = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_.cold.sec).sum
     val totalWarm = results.map(_.warm).sum
     // artifact honesty: the warm key says what the value IS — a median
@@ -277,11 +341,21 @@ object Bench {
     val pipeLoadJson = pipeLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val pipeStealJson = pipeSteals.map(s => f"$s%.3f").mkString("[", ",", "]")
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+    // Full rich session JSON → a FILE (r5 lesson: the driver's BENCH_rNN
+    // capture keeps only a ~2 KB tail of stdout, so the 6 KB line of r5
+    // got truncated mid-object and committed as the artifact of record).
+    // The stdout line below carries the driver-contract fields and the
+    // headline numbers and stays comfortably under the tail window; the
+    // session file carries every per-query condition map.
+    val sessionJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""$warmKey":$qsWarm,"total_warm":$totalWarm%.3f,""" +
       f""""queries_load1":$qsLoad,"queries_steal_pct":$qsSteal,""" +
       f""""queries_extra_reps":$qsExtra,""" +
       f""""queries_warm_stat":$qsStat,""" +
+      f""""queries_chosen_clean":$qsClean,""" +
+      f""""queries_errors":$qErrors,""" +
+      f""""battery_clean":$batteryClean,"battery_retried":$retriedJson,""" +
       f""""warm_reps":$warmReps,"host_load1":$startLoad%.2f,""" +
       f""""sf":"$sfDir","cpus":$cpus,"bench_convs":$benchConvs,""" +
       f""""rollup_points":$nPoints,"rolled_rows":$rolled,"rollup_sec":$rollupSec%.3f,""" +
@@ -293,7 +367,30 @@ object Bench {
       f""""pipeline_load1":$pipeLoadJson,"pipeline_steal_pct":$pipeStealJson,""" +
       f""""rollup_sec_warm":$rollupWarm%.3f,"mp_sec_warm":$mpWarm%.3f,""" +
       f""""points_per_sec_warm":${nPoints / rollupWarm}%.0f,""" +
-      f""""subseq_per_sec_warm":${nSubseq / mpWarm}%.0f}""")
+      f""""subseq_per_sec_warm":${nSubseq / mpWarm}%.0f}"""
+    val sessionPath = sys.env.getOrElse("SPARK_GRAFT_SESSION_OUT",
+      "/root/repo/bench_session.json")
+    try {
+      val p = java.nio.file.Paths.get(sessionPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (sessionJson + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] session write failed: ${e.getMessage}")
+    }
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""total_warm":$totalWarm%.3f,"warm_reps":$warmReps,""" +
+      f""""battery_clean":$batteryClean,"query_errors":$nErrors,""" +
+      f""""host_load1":$startLoad%.2f,""" +
+      f""""sf":"$sfDir","cpus":$cpus,"bench_convs":$benchConvs,""" +
+      f""""rollup_points":$nPoints,"rolled_rows":$rolled,"rollup_sec":$rollupSec%.3f,""" +
+      f""""points_per_sec":$pointsPerSec%.0f,""" +
+      f""""mp_subsequences":$nSubseq,"mp_sec":$mpSec%.3f,""" +
+      f""""subseq_per_sec":$subseqPerSec%.0f,""" +
+      f""""rollup_sec_warm":$rollupWarm%.3f,"mp_sec_warm":$mpWarm%.3f,""" +
+      f""""points_per_sec_warm":${nPoints / rollupWarm}%.0f,""" +
+      f""""subseq_per_sec_warm":${nSubseq / mpWarm}%.0f,""" +
+      f""""session_file":"$sessionPath"}""")
 
     // plan-digest artifact (verdict r4 #8): dump each query's plan summary
     // AFTER the timed battery so digest plan-building never warms the cold

@@ -54,14 +54,14 @@ object Rollup {
           throw new IllegalArgumentException(
             s"$what: input is not colocated-sorted — series ($conv, $kind) " +
               "reappears after other rows in the same partition; feed a " +
-              "bucket(conv_id)-partitioned, (conv_id, ts)-sorted table or " +
-              "use the generic rollupRaw/rollupTier path")
+              "bucket(conv_id)-partitioned, (conv_id, kind, ts)-sorted table " +
+              "or use the generic rollupRaw/rollupTier path")
         curConv = conv; curKind = kind; lastT = Long.MinValue
       } else if (t < lastT)
         throw new IllegalArgumentException(
           s"$what: input is not time-sorted within ($conv, $kind) — " +
-            s"timestamp $t arrived after $lastT; feed a (conv_id, ts)-sorted " +
-            "table or use the generic rollupRaw/rollupTier path")
+            s"timestamp $t arrived after $lastT; feed a (conv_id, kind, ts)-" +
+            "sorted table or use the generic rollupRaw/rollupTier path")
       lastT = t
     }
   }

@@ -32,9 +32,12 @@ object DedupBench {
     var i = 0
     while (i < words) {
       if (i > 0) sb.append(' ')
-      // near-dup: swap the first 2 tokens for group-id-derived ones
+      // near-dup: substitute the first 2 tokens with group-id-derived
+      // ones; h still advances so the remaining tokens stay ALIGNED with
+      // the source doc (without the advance the whole doc would be the
+      // source shifted by two tokens, not a 2-token substitution)
       val hh =
-        if (slot == 8 && i < 2) splitmix64(0xED17L ^ grp ^ i.toLong)
+        if (slot == 8 && i < 2) { h = splitmix64(h); splitmix64(0xED17L ^ grp ^ i.toLong) }
         else { h = splitmix64(h); h }
       sb.append("w").append(java.lang.Long.toHexString(hh & 0xfffL))
       i += 1
@@ -43,7 +46,10 @@ object DedupBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val n = if (args.length > 0) args(0).toInt else 100000
+    // round down to a whole number of 10-doc groups: a partial trailing
+    // group would plant extra exact clones (slots 7/9) that the
+    // expected-count check below doesn't model
+    val n = (if (args.length > 0) args(0).toInt else 100000) / 10 * 10
     val words = if (args.length > 1) args(1).toInt else 80
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

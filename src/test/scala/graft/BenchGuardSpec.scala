@@ -92,4 +92,44 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(r.stat == "cold")
     assert(r.warm == r.cold.sec)
   }
+
+  test("a throwing query is recorded with an error, never as a fast clean rep") {
+    var calls = 0
+    val r = Bench.measureQuery("boom", warmReps = 2, maxExtra = 3,
+      loadSampler = () => 1.0, jiffySampler = () => (0L, 0L)) { () =>
+      calls += 1
+      sys.error("query exploded")
+    }()
+    assert(calls >= 3) // cold + 2 warm at minimum
+    assert(r.err.nonEmpty, "error must surface in QResult")
+    assert(r.err.get.contains("query exploded"))
+  }
+
+  test("chosenClean is false when every rep ran contaminated") {
+    val r = scripted(Seq((5, 9.0, 0.0), (5, 9.0, 0.0), (5, 9.0, 0.0),
+      (5, 9.0, 0.0), (5, 9.0, 0.0), (5, 9.0, 0.0), (5, 9.0, 0.0)),
+      warmReps = 3, maxExtra = 2)
+    assert(r.stat == "minload" && !r.chosenClean)
+  }
+
+  test("chosenClean is true once an extra rep lands under both limits") {
+    val r = scripted(Seq((10, 1.0, 0.0), (50, 5.0, 0.0), (55, 5.0, 0.0),
+      (52, 5.0, 0.0), (15, 1.0, 0.0)), warmReps = 3, maxExtra = 3)
+    assert(r.stat == "minload" && r.chosenClean)
+  }
+
+  test("blind samplers (-1 everywhere) stop the extras loop after one rep " +
+      "instead of burning the full budget on unknowable conditions") {
+    var runs = 0
+    val r = Bench.measureQuery("blind", warmReps = 3, maxExtra = 5,
+      loadSampler = () => -1.0, jiffySampler = () => (-1L, -1L)) { () =>
+      runs += 1
+      // >2x spread forces the guard to trigger even with unknown load
+      val until = System.nanoTime() + (if (runs == 2) 45 else 10) * 1000000L
+      while (System.nanoTime() < until) {}
+    }()
+    assert(r.extraReps <= 1,
+      s"blind conditions must short-circuit extras, ran ${r.extraReps}")
+    assert(!r.chosenClean) // unknown is never clean
+  }
 }
