@@ -274,6 +274,11 @@ object SparkEntry {
     "q27_multimodal_features" -> ((s, dir) =>
       Multimodal.featureSummary(Multimodal.syntheticMedia(documents(s, dir)))),
 
+    // real JDK-ImageIO decode, hash-compared against the closed-form
+    // pixel-formula oracle (PNG is lossless; a fake decode cannot pass)
+    "q37_image_decode" -> ((s, dir) =>
+      Multimodal.imageStats(Multimodal.syntheticMedia(documents(s, dir)))),
+
     "q28_ab_join" -> ((s, dir) => MpQueries.q28(s, dir)),
     "q32_pmp_discords" -> ((s, dir) => MpQueries.q32(s, dir)),
     "q34_pmp_motifs" -> ((s, dir) => MpQueries.q34(s, dir)),
@@ -424,6 +429,7 @@ object SparkEntry {
     "q35_ann_ivf" -> OracleSqlGen.q35(),
     "q25_embedding_dups" -> OracleSqlGen.q25(),
     "q27_multimodal_features" -> OracleSqlGen.q27,
+    "q37_image_decode" -> OracleSqlGen.q37,
     "q28_ab_join" -> OracleSqlGen.q28(),
     "q32_pmp_discords" -> OracleSqlGen.q32(),
     "q34_pmp_motifs" -> OracleSqlGen.q34(),

@@ -1,18 +1,30 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `binary` columns with a typed metadata struct; decode/feature-extract
   * runs batch-wise in mapPartitions (the Scala analog of mapInPandas
   * batches).
   *
-  * The decode step itself is STUBBED — the sandbox ships no image/audio
-  * codecs — behind `decodeStub`, a deterministic fake that hashes payload
+  * IMAGE decode is REAL: payloads are PNG bytes (encoded by `encodePng`
+  * from deterministic seeded pixels) and `decodeImage` runs
+  * `javax.imageio.ImageIO` — shipped with the JDK, zero external
+  * dependencies — to recover pixel-exact channel statistics. PNG is
+  * lossless, so the decoded stats are hash-compared against a DuckDB
+  * oracle that recomputes them in closed form from the pixel formula
+  * (q37): a fake decode cannot pass that gate.
+  *
+  * AUDIO/VIDEO decode remains STUBBED behind `decodeStub` (the sandbox
+  * ships no audio/video codecs): a deterministic fake that hashes payload
   * bytes into a fixed-dim feature vector. The Spark-side plumbing
-  * (schema, batching, partition sizing, feature schema) is real and
-  * tested; swap `decodeStub` for a JNI/codec call in production.
+  * (schema, batching, partition sizing, feature schema) is identical to
+  * the real image path; swap `decodeStub` for an ffmpeg/JNI call in
+  * production.
   */
 object Multimodal {
 
@@ -21,8 +33,83 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String, dim: Int,
       features: Array[Float])
 
-  /** STUB decode: deterministic feature vector from payload bytes.
-    * Replace with a real codec (libjpeg/ffmpeg) outside the sandbox.
+  /** Feature vector length for real image decode (width, height, mean
+    * r/g/b, max r/g/b); stub-decoded audio/video keep `StubDim`.
+    */
+  val ImageDim = 8
+  val StubDim = 32
+
+  /** Deterministic synthetic image geometry: width 16..31, height 16..23.
+    * Integer-only so a SQL oracle can recompute it from the id.
+    */
+  def imageDims(id: Long): (Int, Int) =
+    ((16 + id % 16).toInt, (16 + id % 8).toInt)
+
+  /** Deterministic packed-RGB pixel: v = id*2654435761 + x*7919 + y*104729,
+    * r = v%256, g = (v/256)%256, b = (v/65536)%256 — integer arithmetic
+    * only, mirrored operation-for-operation by the q37 oracle SQL.
+    */
+  def imagePixel(id: Long, x: Int, y: Int): Int = {
+    val v = id * 2654435761L + x * 7919L + y * 104729L
+    val r = (v % 256).toInt
+    val g = ((v / 256) % 256).toInt
+    val b = ((v / 65536) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Real PNG encode of the seeded pixel field (JDK ImageIO, lossless). */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, imagePixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-image channel statistics — the SQL-replayable facts of a real
+    * decode: dimensions, per-channel sums, and a position-weighted
+    * checksum sum((x*131+y)·(r+2g+3b)) that pins every pixel to its
+    * coordinates (channel sums alone would pass under a pixel shuffle).
+    */
+  final case class ImageStats(media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  /** REAL image decode: ImageIO.read over the payload bytes. Throws on
+    * undecodable payloads — a corrupt image must fail loudly, not hash
+    * quietly.
+    */
+  def decodeImage(mediaId: Long, payload: Array[Byte]): ImageStats = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"media $mediaId: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 255
+        val g = (rgb >> 8) & 255
+        val b = rgb & 255
+        sr += r; sg += g; sb += b
+        ck += (x * 131L + y) * (r + 2L * g + 3L * b)
+        x += 1
+      }
+      y += 1
+    }
+    ImageStats(mediaId, w, h, sr, sg, sb, ck)
+  }
+
+  /** STUB decode for audio/video: deterministic feature vector from
+    * payload bytes. Replace with a real codec (ffmpeg) outside the
+    * sandbox.
     */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -36,46 +123,86 @@ object Multimodal {
     out
   }
 
-  /** Build a synthetic media table from the documents table: payload =
-    * UTF-8 bytes (stand-in for image bytes), meta derived from doc stats.
+  /** Build a synthetic media table from the documents table: image rows
+    * (doc_id % 3 == 0) carry REAL PNG payloads from the seeded pixel
+    * field; audio/video rows keep UTF-8 text bytes as the stand-in
+    * payload for the stub decode path.
     */
   def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select($"doc_id", $"text").as[(Long, String)].map { case (id, text) =>
-      MediaRow(id,
-        MediaMeta(if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video",
-          width = 64 + (id % 512).toInt, height = 64 + (id % 256).toInt,
-          sampleRateHz = if (id % 3 == 1) 16000 else 0),
-        text.getBytes("UTF-8"))
+      if (id % 3 == 0) {
+        val (w, h) = imageDims(id)
+        MediaRow(id, MediaMeta("image", w, h, 0), encodePng(id))
+      } else
+        MediaRow(id,
+          MediaMeta(if (id % 3 == 1) "audio" else "video",
+            width = 64 + (id % 512).toInt, height = 64 + (id % 256).toInt,
+            sampleRateHz = if (id % 3 == 1) 16000 else 0),
+          text.getBytes("UTF-8"))
     }
   }
 
-  /** Driver-oracled summary: runs the full decode path per row and projects
-    * the SQL-checkable facts (id, kind, dim, payload size). The feature
-    * values themselves come from the documented stub, so they are asserted
-    * in MultimodalSpec rather than hash-compared.
+  /** Driver-oracled plumbing summary: runs the full decode path per row
+    * and projects the SQL-checkable facts. For image rows `content_bytes`
+    * is the DECODED pixel-buffer size (width·height·3 — PNG byte counts
+    * are encoder-dependent and not oracle-predictable); for audio/video
+    * it is the raw payload size. Stub feature values are spec-asserted in
+    * MultimodalSpec; real image values are hash-compared in q37.
     */
-  def featureSummary(media: Dataset[MediaRow], dim: Int = 32): DataFrame = {
+  def featureSummary(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val features = decodeStub(m.payload, dim)
-        (m.media_id, m.meta.kind, features.length, m.payload.length.toLong)
+        if (m.meta.kind == "image") {
+          val s = decodeImage(m.media_id, m.payload)
+          (m.media_id, m.meta.kind, ImageDim, 3L * s.width * s.height)
+        } else {
+          val features = decodeStub(m.payload, StubDim)
+          (m.media_id, m.meta.kind, features.length, m.payload.length.toLong)
+        }
       }
-    }.toDF("media_id", "kind", "dim", "payload_bytes")
+    }.toDF("media_id", "kind", "dim", "content_bytes")
+  }
+
+  /** Per-image decoded statistics (q37): the hash-compared evidence that
+    * the decode is real — the oracle recomputes every value in closed
+    * form from the pixel formula, which only a faithful PNG decode can
+    * reproduce.
+    */
+  def imageStats(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.meta.kind == "image")
+      .mapPartitions(it => it.map(m => decodeImage(m.media_id, m.payload)))
+      .toDF()
   }
 
   /** Batched feature extraction: one decode call per row, batched per
-    * partition; output is a narrow typed table safe to shuffle.
+    * partition; output is a narrow typed table safe to shuffle. Image
+    * features are real (dims + channel means/maxes scaled to [0,1]);
+    * audio/video features come from the documented stub.
     */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 32): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        MediaFeatures(m.media_id, m.meta.kind, dim, decodeStub(m.payload, dim))
+        if (m.meta.kind == "image") {
+          val s = decodeImage(m.media_id, m.payload)
+          val n = s.width.toLong * s.height
+          MediaFeatures(m.media_id, m.meta.kind, ImageDim, Array(
+            s.width.toFloat, s.height.toFloat,
+            (s.sum_r.toDouble / (255.0 * n)).toFloat,
+            (s.sum_g.toDouble / (255.0 * n)).toFloat,
+            (s.sum_b.toDouble / (255.0 * n)).toFloat,
+            (s.checksum.toDouble / (6.0 * 255 * 131 * (s.width + s.height) * n)).toFloat,
+            s.width.toFloat / s.height, 1.0f))
+        } else
+          MediaFeatures(m.media_id, m.meta.kind, StubDim,
+            decodeStub(m.payload, StubDim))
       }
     }
   }

@@ -499,15 +499,51 @@ FROM best WHERE rn = 1 GROUP BY 1, 2"""
                    (acc, t) -> md5(acc || '|' || t)) AS fingerprint
 FROM documents"""
 
-  /** q27: multimodal plumbing facts — id/kind/dim/payload size; the decode
-    * stub's feature values are spec-asserted, not hash-compared.
+  /** q27: multimodal plumbing facts — id/kind/dim/content size. Image rows
+    * (doc_id % 3 = 0) carry real PNG payloads whose encoded size is
+    * encoder-dependent, so the oracle checks the DECODED pixel-buffer size
+    * (w·h·3 from the deterministic geometry in Multimodal.imageDims);
+    * audio/video rows check the raw payload size. Audio/video stub feature
+    * values are spec-asserted, not hash-compared; real image decode values
+    * are hash-compared by q37.
     */
   def q27: String =
     """SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS kind,
-       32 AS dim, strlen(text)::BIGINT AS payload_bytes
+       CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 32 END AS dim,
+       CASE WHEN doc_id % 3 = 0
+            THEN 3 * (16 + doc_id % 16) * (16 + doc_id % 8)
+            ELSE strlen(text) END::BIGINT AS content_bytes
 FROM documents"""
+
+  /** q37: REAL image decode, hash-compared. The Spark side PNG-encodes a
+    * deterministic pixel field (Multimodal.imagePixel: v = id*2654435761 +
+    * x*7919 + y*104729; r=v%256, g=(v/256)%256, b=(v/65536)%256), decodes
+    * it back with JDK ImageIO, and reports per-channel sums plus a
+    * position-weighted checksum. This oracle recomputes the identical
+    * values in closed form from the formula — PNG is lossless, so only a
+    * faithful decode matches. The generate_series bounds cover the max
+    * geometry (width ≤ 31 → x ≤ 30; height ≤ 23 → y ≤ 22).
+    */
+  def q37: String =
+    """WITH imgs AS (
+  SELECT doc_id, (16 + doc_id % 16)::BIGINT AS w, (16 + doc_id % 8)::BIGINT AS h
+  FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT i.doc_id, i.w, i.h, gx.x, gy.y,
+         i.doc_id * 2654435761 + gx.x * 7919 + gy.y * 104729 AS v
+  FROM imgs i
+  CROSS JOIN generate_series(0, 30) gx(x)
+  CROSS JOIN generate_series(0, 22) gy(y)
+  WHERE gx.x < i.w AND gy.y < i.h)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       sum(v % 256)::BIGINT AS sum_r,
+       sum((v // 256) % 256)::BIGINT AS sum_g,
+       sum((v // 65536) % 256)::BIGINT AS sum_b,
+       sum((x * 131 + y) * ((v % 256) + 2 * ((v // 256) % 256)
+           + 3 * ((v // 65536) % 256)))::BIGINT AS checksum
+FROM px GROUP BY 1, 2, 3"""
 
   /** q11: snippets — replay of the full pipeline over the padded quantized
     * series: brute pair-distance matrix per candidate, column minima +

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+/** Gates for the REAL image decode path (JDK ImageIO) and the documented
+  * audio/video stub. The image gates are independent of Spark: encode →
+  * decode must reproduce the seeded pixel field exactly (PNG is lossless),
+  * and the decoded statistics must equal the closed-form values the q37
+  * oracle computes — the same invariant the driver hash-compares at sf0.01.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  /** Closed-form stats straight from the pixel formula (no image codec):
+    * the independent mirror of the q37 oracle SQL.
+    */
+  private def formulaStats(id: Long): Multimodal.ImageStats = {
+    val (w, h) = Multimodal.imageDims(id)
+    var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = id * 2654435761L + x * 7919L + y * 104729L
+      val r = (v % 256).toInt; val g = ((v / 256) % 256).toInt
+      val b = ((v / 65536) % 256).toInt
+      sr += r; sg += g; sb += b
+      ck += (x * 131L + y) * (r + 2L * g + 3L * b)
+    }
+    Multimodal.ImageStats(id, w, h, sr, sg, sb, ck)
+  }
+
+  test("a known 2x2 image round-trips through PNG encode + ImageIO decode " +
+      "pixel-exactly") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0x102030)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val s = Multimodal.decodeImage(7L, bos.toByteArray)
+    assert((s.width, s.height) == (2, 2))
+    // channel sums: r = 255+16, g = 255+32, b = 255+48
+    assert(s.sum_r == 271L && s.sum_g == 287L && s.sum_b == 303L)
+    // checksum pins pixels to coordinates: (x*131+y)*(r+2g+3b) per pixel
+    val expected = 0L * (255) + 131L * (2 * 255) + 1L * (3 * 255) +
+      132L * (16 + 2 * 32 + 3 * 48)
+    assert(s.checksum == expected)
+  }
+
+  test("seeded PNG decode reproduces the closed-form pixel statistics for " +
+      "a spread of ids (the q37 invariant)") {
+    for (id <- Seq(0L, 3L, 42L, 123L, 4998L)) {
+      val decoded = Multimodal.decodeImage(id, Multimodal.encodePng(id))
+      assert(decoded == formulaStats(id), s"id=$id decode != formula")
+    }
+  }
+
+  test("decodeImage fails loudly on an undecodable payload") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(9L, Array[Byte](1, 2, 3, 4))
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
+  test("audio/video stub decode is deterministic and dimension-stable") {
+    val payload = "some synthetic pcm-ish bytes".getBytes("UTF-8")
+    val a = Multimodal.decodeStub(payload, Multimodal.StubDim)
+    val b = Multimodal.decodeStub(payload, Multimodal.StubDim)
+    assert(a.length == Multimodal.StubDim)
+    assert(a.toSeq == b.toSeq)
+    assert(a.exists(_ != 0.0f))
+  }
+}
