@@ -35,6 +35,48 @@ object StreamingRollup {
         $"cnt", $"sum", $"min", $"max")
   }
 
+  /** The 1m tier KEEPING the event-time window struct, so a second
+    * stateful aggregation can chain on it (Spark's multiple-stateful-
+    * operator support propagates the watermark through the first window
+    * aggregate when the next groupBy windows over the window column
+    * itself).
+    */
+  def minuteTierWindowed(stream: Dataset[Transcript],
+      lateness: String = "10 minutes"): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy($"conv_id", window($"ts", "1 minute").as("w1m"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(length($"text")).cast("double").as("sum"),
+        min(length($"text")).cast("double").as("min"),
+        max(length($"text")).cast("double").as("max"))
+  }
+
+  /** 1h tier chained DIRECTLY on the streaming 1m aggregate — the
+    * continuous-aggregate cascade (raw→1m→1h) as ONE streaming query with
+    * two stateful operators, instead of a batch backfill over the 1m
+    * sink. `window($"w1m", "1 hour")` windows over the minute window
+    * column, which is what lets the engine propagate the event-time
+    * watermark through the first aggregate: an hour bucket finalizes
+    * exactly when its last minute bucket can no longer change. cnt/sum/
+    * min/max are all mergeable partial aggregates, so a finalized 1h row
+    * is identical whether fed by streaming 1m output or a batch rollup
+    * over the same accepted rows — gated by StreamingSpec across
+    * micro-batch boundaries.
+    */
+  def hourTierChained(m1Windowed: DataFrame): DataFrame = {
+    val spark = m1Windowed.sparkSession
+    import spark.implicits._
+    m1Windowed
+      .groupBy($"conv_id", window($"w1m", "1 hour").as("w1h"))
+      .agg(sum($"cnt").as("cnt"), sum($"sum").as("sum"),
+        min($"min").as("min"), max($"max").as("max"))
+      .select($"conv_id", unix_micros($"w1h.start").as("bucket"),
+        $"cnt", $"sum", $"min", $"max")
+  }
+
   /** Per-conversation retained series for the stateful streaming path:
     * `offset` keeps window positions stable across retention trims;
     * `maxTsMillis` is the event time of the newest accepted point (the

@@ -60,6 +60,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     streamedClosed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s vs $b") }
   }
 
+  test("chained 1h tier (two stateful operators, one query) finalizes " +
+      "identically to a batch 1h rollup across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (TranscriptGen.genConversation(42L, 7) ++
+      TranscriptGen.genConversation(42L, 8)).sortBy(_.ts.getTime)
+
+    val source = MemoryStream[Transcript]
+    val h1 = StreamingRollup.hourTierChained(
+      StreamingRollup.minuteTierWindowed(source.toDS()))
+    val cp = java.nio.file.Files.createTempDirectory("graft_h1_cp").toString
+    val q = h1.writeStream.outputMode("append").format("memory")
+      .queryName("h1_chained").option("checkpointLocation", cp).start()
+    // three micro-batches so hour buckets straddle state boundaries
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    source.addData(rows.take(cut1))
+    q.processAllAvailable()
+    source.addData(rows.slice(cut1, cut2))
+    q.processAllAvailable()
+    source.addData(rows.drop(cut2))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("h1_chained")
+      .orderBy("conv_id", "bucket").collect()
+
+    // append mode finalizes an hour bucket once the watermark passes its
+    // end: final watermark = max(ts) - lateness
+    val maxTs = rows.map(_.ts.getTime).max * 1000L
+    val cutoff = maxTs - 10L * 60 * 1000000
+    val batch = spark.createDataset(rows)
+      .groupBy($"conv_id",
+        unix_micros(date_trunc("hour", $"ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(length($"text")).cast("double").as("sum"),
+        min(length($"text")).cast("double").as("min"),
+        max(length($"text")).cast("double").as("max"))
+      .where($"bucket" + 3600000000L <= cutoff)
+      .orderBy("conv_id", "bucket").collect()
+
+    assert(batch.length > 0, "fixture must close at least one hour bucket")
+    val streamedClosed = streamed.filter(_.getLong(1) + 3600000000L <= cutoff)
+    assert(streamedClosed.length == batch.length,
+      s"${streamedClosed.length} closed streamed vs ${batch.length} batch")
+    streamedClosed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s vs $b") }
+    // and the chained 1h rows equal rolling up the BATCH 1m tier — the
+    // tier-cascade identity (1h-from-1m == 1h-from-raw) under streaming
+    val viaM1 = spark.createDataset(rows)
+      .groupBy($"conv_id", unix_micros(date_trunc("minute", $"ts")).as("m"))
+      .agg(count(lit(1)).as("cnt"), sum(length($"text")).cast("double").as("sum"),
+        min(length($"text")).cast("double").as("min"),
+        max(length($"text")).cast("double").as("max"))
+      .groupBy($"conv_id", ($"m" - pmod($"m", lit(3600000000L))).as("bucket"))
+      .agg(sum($"cnt").as("cnt"), sum($"sum").as("sum"),
+        min($"min").as("min"), max($"max").as("max"))
+      .where($"bucket" + 3600000000L <= cutoff)
+      .orderBy("conv_id", "bucket").collect()
+    assert(viaM1.length == streamedClosed.length)
+    streamedClosed.zip(viaM1).foreach { case (s, b) => assert(s == b, s"$s vs $b") }
+  }
+
   test("streaming left profile (flatMapGroupsWithState) equals the batch " +
       "computation across micro-batches") {
     import spark.implicits._
