@@ -60,6 +60,20 @@ object DedupBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // shuffle accounting (r5 verdict #6): total + peak-stage shuffle write
+    // tells whether the banding exchange stays bounded as the corpus grows
+    val shuffleTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufflePeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val b = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        shuffleTotal.addAndGet(b)
+        shufflePeak.accumulateAndGet(b, Math.max(_, _))
+        ()
+      }
+    })
+
     val ld = graft.Bench.load1()
     val docs = spark.range(0, n.toLong, 1,
         spark.sparkContext.defaultParallelism * 2)
@@ -84,9 +98,22 @@ object DedupBench {
       s"expected ${2L * groups} exact links, got $exactPairs")
     require(nearPairs >= groups,
       s"expected >= $groups near pairs (planted), got $nearPairs")
+    // listener events drain asynchronously; poll until the totals settle
+    // so the shuffle numbers cover every completed stage of the pipeline
+    var settled = false
+    var lastSeen = -1L
+    val drainDeadline = System.nanoTime() + 10L * 1000000000L
+    while (!settled && System.nanoTime() < drainDeadline) {
+      val cur = shuffleTotal.get
+      if (cur == lastSeen) settled = true
+      else { lastSeen = cur; Thread.sleep(300) }
+    }
+    val capDrops = graft.ops.CapBucketsLog.lastOverCount("minhashLsh").getOrElse(0L)
     println(f"[dedup-bench] docs=$n words=$words wall=$sec%.1fs " +
       f"docs/s=${n / sec}%.3e exact_pairs=$exactPairs near_pairs=$nearPairs " +
-      f"load1=$ld%.2f")
+      f"shuffle_total_mb=${shuffleTotal.get / 1048576.0}%.1f " +
+      f"shuffle_peak_stage_mb=${shufflePeak.get / 1048576.0}%.1f " +
+      f"lsh_bucket_cap_drops=$capDrops load1=$ld%.2f")
     graft.util.StageCache.release(spark)
     cached.unpersist()
     spark.stop()

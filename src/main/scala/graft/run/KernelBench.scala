@@ -1,9 +1,12 @@
 package graft.run
 
-import graft.kernels.{Mpx, Stomp, Scrimp}
+import graft.kernels.{Mpx, Scrimp, Stomp}
 
 /** Single-series kernel throughput at the reference's own benchmark
   * config (BASELINE.md: random uniform, n=2^15, w=32, single thread).
+  * Best of 3 timed reps after one warmup, load-stamped per rep so a
+  * contaminated best is visible (the r5 lesson: a single rep under host
+  * load reads as a kernel regression).
   */
 object KernelBench {
   def main(args: Array[String]): Unit = {
@@ -11,18 +14,29 @@ object KernelBench {
     val w = if (args.length > 1) args(1).toInt else 32
     val rng = new java.util.Random(42)
     val ts = Array.fill(n)(rng.nextDouble())
+    // AB-join partner: same length, independent draw (the reference's
+    // similarity-join shape: profile of ts's windows against query's)
+    val query = Array.fill(n)(rng.nextDouble())
 
-    def time[T](name: String)(body: => T): Unit = {
-      body // warmup
-      val t0 = System.nanoTime()
-      body
-      val sec = (System.nanoTime() - t0) / 1e9
-      val plen = n - w + 1
-      println(f"$name%-10s n=$n w=$w: $sec%.3f s  (${plen / sec}%.0f subseq/s)")
+    def time[T](name: String, denom: Long)(body: => T): Unit = {
+      body // warmup (JIT + FFT plan cache)
+      var best = Double.MaxValue
+      var loads = Vector.empty[Double]
+      for (_ <- 1 to 3) {
+        loads :+= graft.Bench.load1()
+        val t0 = System.nanoTime()
+        body
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      val loadStr = loads.map(l => f"$l%.1f").mkString("/")
+      println(f"$name%-10s n=$n w=$w: $best%.3f s  (${denom / best}%.0f " +
+        f"subseq/s)  load1=$loadStr")
     }
 
-    time("mpx")(Mpx.mpxSelf(ts, w))
-    time("stomp")(Stomp.stomp(ts, w))
-    if (n <= (1 << 15)) time("scrimp++")(Scrimp.scrimpPlusPlus(ts, w))
+    val plen = (n - w + 1).toLong
+    time("mpx", plen)(Mpx.mpxSelf(ts, w))
+    time("mpx_ab", plen)(Mpx.mpxAb(ts, query, w))
+    time("stomp", plen)(Stomp.stomp(ts, w))
+    if (n <= (1 << 15)) time("scrimp++", plen)(Scrimp.scrimpPlusPlus(ts, w))
   }
 }
