@@ -77,6 +77,29 @@ object Bench {
     (nPoints, rolled, nSubseq, rollupSec, genericSec, mpSec)
   }
 
+  /** Plan digests of the two pipeline legs at the given corpus size —
+    * the scale-up evidence that the 250M-point plan IS the 25M-point
+    * plan (exchange/scan/codegen counts identical; only task counts
+    * grow). Plan-build only, no leg execution.
+    */
+  def pipelineDigests(spark: SparkSession, numConvs: Int,
+      turnsScale: Int): String = {
+    import spark.implicits._
+    import graft.ingest.TranscriptGen
+    import graft.rollup.Rollup
+    import graft.dist.DistributedMp
+    import graft.dist.DistributedMp.SeriesRow
+    val points = TranscriptGen.generatePoints(spark, numConvs,
+      turnsScale = turnsScale)
+    val all = Rollup.rollupAllColocated(points)
+    val m1 = all.where($"tier" === "1m").as[graft.schema.TierAgg]
+    val series = graft.series.Derive.assembleColocated(Rollup.tierSeries(m1))
+      .map { case (c, k, s, v) => SeriesRow(c, k, s, v) }
+    val profiles = DistributedMp.mpxProfiles(series, 16, "1m")
+    s"""{"rollup":${graft.run.PlanDigest.of(all.toDF()).json},""" +
+      s""""mp":${graft.run.PlanDigest.of(profiles.toDF()).json}}"""
+  }
+
   /** Fresh 1-minute load average — sampled BEFORE every rep, so each
     * timed number carries its own recording conditions (the r4 lesson: one
     * start-of-run sample can't defend individual queries against a burst
@@ -347,8 +370,20 @@ object Bench {
     // The stdout line below carries the driver-contract fields and the
     // headline numbers and stays comfortably under the tail window; the
     // session file carries every per-query condition map.
+    // optional pipeline plan digest (scale-up evidence): plan-build only
+    val pipeDigest =
+      if (!sys.env.get("SPARK_GRAFT_PIPELINE_DIGEST").contains("1")) ""
+      else try {
+        val d = pipelineDigests(spark, benchConvs, turnsScale)
+        graft.util.StageCache.release(spark)
+        s""""pipeline_digest":$d,"""
+      } catch { case e: Throwable =>
+        s""""pipeline_digest":{"error":"${e.getClass.getSimpleName}"},"""
+      }
+
     val sessionJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      pipeDigest +
       f""""$warmKey":$qsWarm,"total_warm":$totalWarm%.3f,""" +
       f""""queries_load1":$qsLoad,"queries_steal_pct":$qsSteal,""" +
       f""""queries_extra_reps":$qsExtra,""" +

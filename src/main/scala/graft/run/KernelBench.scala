@@ -12,6 +12,10 @@ object KernelBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 1 << 15
     val w = if (args.length > 1) args(1).toInt else 32
+    // optional comma-separated kernel filter (run one kernel in a fresh
+    // JVM to rule out JIT profile pollution between kernels)
+    val only: String => Boolean =
+      if (args.length > 2) args(2).split(",").toSet else _ => true
     val rng = new java.util.Random(42)
     val ts = Array.fill(n)(rng.nextDouble())
     // AB-join partner: same length, independent draw (the reference's
@@ -34,9 +38,10 @@ object KernelBench {
     }
 
     val plen = (n - w + 1).toLong
-    time("mpx", plen)(Mpx.mpxSelf(ts, w))
-    time("mpx_ab", plen)(Mpx.mpxAb(ts, query, w))
-    time("stomp", plen)(Stomp.stomp(ts, w))
-    if (n <= (1 << 15)) time("scrimp++", plen)(Scrimp.scrimpPlusPlus(ts, w))
+    if (only("mpx")) time("mpx", plen)(Mpx.mpxSelf(ts, w))
+    if (only("mpx_ab")) time("mpx_ab", plen)(Mpx.mpxAb(ts, query, w))
+    if (only("stomp")) time("stomp", plen)(Stomp.stomp(ts, w))
+    if (only("scrimp++") && n <= (1 << 15))
+      time("scrimp++", plen)(Scrimp.scrimpPlusPlus(ts, w))
   }
 }
