@@ -308,6 +308,11 @@ object SparkEntry {
     "q37_image_decode" -> ((s, dir) =>
       Multimodal.imageStats(Multimodal.syntheticMedia(documents(s, dir)))),
 
+    // real javax.sound.sampled WAV/PCM decode, hash-compared against the
+    // closed-form sample-formula oracle (PCM is lossless)
+    "q38_audio_decode" -> ((s, dir) =>
+      Multimodal.audioStats(Multimodal.syntheticMedia(documents(s, dir)))),
+
     "q28_ab_join" -> ((s, dir) => MpQueries.q28(s, dir)),
     "q32_pmp_discords" -> ((s, dir) => MpQueries.q32(s, dir)),
     "q34_pmp_motifs" -> ((s, dir) => MpQueries.q34(s, dir)),
@@ -459,6 +464,7 @@ object SparkEntry {
     "q25_embedding_dups" -> OracleSqlGen.q25(),
     "q27_multimodal_features" -> OracleSqlGen.q27,
     "q37_image_decode" -> OracleSqlGen.q37,
+    "q38_audio_decode" -> OracleSqlGen.q38,
     "q28_ab_join" -> OracleSqlGen.q28(),
     "q32_pmp_discords" -> OracleSqlGen.q32(),
     "q34_pmp_motifs" -> OracleSqlGen.q34(),

@@ -90,10 +90,11 @@ object DistributedMp {
     * expensive (a scan of a parquet/Iceberg table is fine; a derived
     * assembly is worth caching).
     */
-  def skimpProfiles(series: Dataset[SeriesRow], windows: Array[Int], tier: String,
+  def skimpProfiles(seriesIn: Dataset[SeriesRow], windows: Array[Int], tier: String,
       splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[MpProfileRow] = {
-    val spark = series.sparkSession
+    val spark = seriesIn.sparkSession
     import spark.implicits._
+    val series = graft.util.StageCache.forked(seriesIn)
     val shortRows = series.flatMap { s =>
       val n = s.values.length
       windows.iterator.filter(w => n >= 2 * w && n < splitThreshold)
@@ -222,10 +223,11 @@ object DistributedMp {
     * B-position-block) tiles — the scale path for the engine's
     * similarity-join / as-of-join analog (ref cympx.pyx:125-284).
     */
-  def mpxAbProfiles(pairs: Dataset[AbPair], w: Int,
+  def mpxAbProfiles(pairsIn: Dataset[AbPair], w: Int,
       splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[AbJoinRow] = {
-    val spark = pairs.sparkSession
+    val spark = pairsIn.sparkSession
     import spark.implicits._
+    val pairs = graft.util.StageCache.forked(pairsIn)
 
     // zero-exchange short path: both sweeps + finalize in the scan stage
     val shortRows = pairs.flatMap { p =>

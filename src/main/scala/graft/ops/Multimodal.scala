@@ -19,12 +19,17 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * oracle that recomputes them in closed form from the pixel formula
   * (q37): a fake decode cannot pass that gate.
   *
-  * AUDIO/VIDEO decode remains STUBBED behind `decodeStub` (the sandbox
-  * ships no audio/video codecs): a deterministic fake that hashes payload
-  * bytes into a fixed-dim feature vector. The Spark-side plumbing
-  * (schema, batching, partition sizing, feature schema) is identical to
-  * the real image path; swap `decodeStub` for an ffmpeg/JNI call in
-  * production.
+  * AUDIO decode is REAL too: payloads are WAV/PCM bytes (RIFF container
+  * written by `encodeWav` from deterministic seeded 16-bit samples) and
+  * `decodeAudio` runs `javax.sound.sampled` — also shipped with the JDK —
+  * to recover sample-exact amplitude statistics, hash-compared against a
+  * closed-form DuckDB oracle the same way (q38).
+  *
+  * VIDEO decode remains STUBBED behind `decodeStub` (no video codec ships
+  * with the JDK): a deterministic fake that hashes payload bytes into a
+  * fixed-dim feature vector. The Spark-side plumbing (schema, batching,
+  * partition sizing, feature schema) is identical to the real paths; swap
+  * `decodeStub` for an ffmpeg/JNI call in production.
   */
 object Multimodal {
 
@@ -37,6 +42,7 @@ object Multimodal {
     * r/g/b, max r/g/b); stub-decoded audio/video keep `StubDim`.
     */
   val ImageDim = 8
+  val AudioDim = 6
   val StubDim = 32
 
   /** Deterministic synthetic image geometry: width 16..31, height 16..23.
@@ -107,9 +113,82 @@ object Multimodal {
     ImageStats(mediaId, w, h, sr, sg, sb, ck)
   }
 
-  /** STUB decode for audio/video: deterministic feature vector from
-    * payload bytes. Replace with a real codec (ffmpeg) outside the
-    * sandbox.
+  /** Deterministic audio geometry: sample count 200..319 at 8 kHz mono —
+    * integer-only so a SQL oracle can recompute it from the id.
+    */
+  val AudioSampleRate = 8000
+
+  def audioSamples(id: Long): Int = (200 + id % 120).toInt
+
+  /** Deterministic 16-bit PCM sample: v = id*2654435761 + i*7919;
+    * s = (v % 65536) - 32768 — mirrored operation-for-operation by the
+    * q38 oracle SQL (int64-safe, no wraparound).
+    */
+  def audioSample(id: Long, i: Int): Short =
+    ((id * 2654435761L + i * 7919L) % 65536L - 32768L).toShort
+
+  /** Real WAV encode of the seeded PCM samples: RIFF/fmt/data header +
+    * little-endian int16 frames (the container is hand-written — it is
+    * our synthetic generator — but the DECODE side goes through
+    * javax.sound.sampled, the JDK's real audio stack).
+    */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = audioSamples(id)
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(AudioSampleRate)
+      .putInt(AudioSampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(audioSample(id, i)); i += 1 }
+    bb.array()
+  }
+
+  /** Decoded-audio statistics — the SQL-replayable facts of a real PCM
+    * decode: sample rate and count from the decoded format, sample sum,
+    * absolute-amplitude sum, and a position-weighted checksum that pins
+    * every sample to its frame index.
+    */
+  final case class AudioStats(media_id: Long, sample_rate: Int, n_samples: Long,
+      sum_s: Long, sum_abs: Long, checksum: Long)
+
+  /** REAL audio decode: javax.sound.sampled over the payload bytes (WAV
+    * PCM is lossless). Throws on undecodable payloads.
+    */
+  def decodeAudio(mediaId: Long, payload: Array[Byte]): AudioStats = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media $mediaId: expected 16-bit mono PCM, got $fmt")
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L; var sabs = 0L; var ck = 0L
+      var i = 0L
+      while (bb.remaining() >= 2) {
+        val s = bb.getShort.toLong
+        sum += s; sabs += math.abs(s); ck += i * s
+        i += 1
+      }
+      AudioStats(mediaId, fmt.getSampleRate.toInt, i, sum, sabs, ck)
+    } finally in.close()
+  }
+
+  /** STUB decode for video only: deterministic feature vector from
+    * payload bytes. Image decode is real (ImageIO) and audio decode is
+    * real (javax.sound.sampled); video containers have no JDK decoder —
+    * replace with an ffmpeg/JNI call outside the sandbox.
     */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -125,8 +204,9 @@ object Multimodal {
 
   /** Build a synthetic media table from the documents table: image rows
     * (doc_id % 3 == 0) carry REAL PNG payloads from the seeded pixel
-    * field; audio/video rows keep UTF-8 text bytes as the stand-in
-    * payload for the stub decode path.
+    * field; audio rows (doc_id % 3 == 1) carry REAL WAV/PCM payloads from
+    * the seeded sample field; video rows keep UTF-8 text bytes as the
+    * stand-in payload for the stub decode path.
     */
   def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
@@ -135,11 +215,13 @@ object Multimodal {
       if (id % 3 == 0) {
         val (w, h) = imageDims(id)
         MediaRow(id, MediaMeta("image", w, h, 0), encodePng(id))
-      } else
+      } else if (id % 3 == 1)
+        MediaRow(id, MediaMeta("audio", 0, 0, AudioSampleRate), encodeWav(id))
+      else
         MediaRow(id,
-          MediaMeta(if (id % 3 == 1) "audio" else "video",
+          MediaMeta("video",
             width = 64 + (id % 512).toInt, height = 64 + (id % 256).toInt,
-            sampleRateHz = if (id % 3 == 1) 16000 else 0),
+            sampleRateHz = 0),
           text.getBytes("UTF-8"))
     }
   }
@@ -147,21 +229,26 @@ object Multimodal {
   /** Driver-oracled plumbing summary: runs the full decode path per row
     * and projects the SQL-checkable facts. For image rows `content_bytes`
     * is the DECODED pixel-buffer size (width·height·3 — PNG byte counts
-    * are encoder-dependent and not oracle-predictable); for audio/video
-    * it is the raw payload size. Stub feature values are spec-asserted in
-    * MultimodalSpec; real image values are hash-compared in q37.
+    * are encoder-dependent and not oracle-predictable); for audio rows the
+    * decoded PCM byte count (2·n_samples); for video the raw payload size.
+    * Stub feature values are spec-asserted in MultimodalSpec; real image/
+    * audio values are hash-compared in q37/q38.
     */
   def featureSummary(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        if (m.meta.kind == "image") {
-          val s = decodeImage(m.media_id, m.payload)
-          (m.media_id, m.meta.kind, ImageDim, 3L * s.width * s.height)
-        } else {
-          val features = decodeStub(m.payload, StubDim)
-          (m.media_id, m.meta.kind, features.length, m.payload.length.toLong)
+        m.meta.kind match {
+          case "image" =>
+            val s = decodeImage(m.media_id, m.payload)
+            (m.media_id, m.meta.kind, ImageDim, 3L * s.width * s.height)
+          case "audio" =>
+            val s = decodeAudio(m.media_id, m.payload)
+            (m.media_id, m.meta.kind, AudioDim, 2L * s.n_samples)
+          case _ =>
+            val features = decodeStub(m.payload, StubDim)
+            (m.media_id, m.meta.kind, features.length, m.payload.length.toLong)
         }
       }
     }.toDF("media_id", "kind", "dim", "content_bytes")
@@ -180,29 +267,52 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-audio decoded statistics (q38): the hash-compared evidence that
+    * the audio decode is real — the oracle recomputes every value in
+    * closed form from the sample formula, which only a faithful PCM
+    * decode can reproduce.
+    */
+  def audioStats(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.meta.kind == "audio")
+      .mapPartitions(it => it.map(m => decodeAudio(m.media_id, m.payload)))
+      .toDF()
+  }
+
   /** Batched feature extraction: one decode call per row, batched per
-    * partition; output is a narrow typed table safe to shuffle. Image
-    * features are real (dims + channel means/maxes scaled to [0,1]);
-    * audio/video features come from the documented stub.
+    * partition; output is a narrow typed table safe to shuffle. Image and
+    * audio features are real (decoded dims/amplitudes scaled to [0,1]);
+    * video features come from the documented stub.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        if (m.meta.kind == "image") {
-          val s = decodeImage(m.media_id, m.payload)
-          val n = s.width.toLong * s.height
-          MediaFeatures(m.media_id, m.meta.kind, ImageDim, Array(
-            s.width.toFloat, s.height.toFloat,
-            (s.sum_r.toDouble / (255.0 * n)).toFloat,
-            (s.sum_g.toDouble / (255.0 * n)).toFloat,
-            (s.sum_b.toDouble / (255.0 * n)).toFloat,
-            (s.checksum.toDouble / (6.0 * 255 * 131 * (s.width + s.height) * n)).toFloat,
-            s.width.toFloat / s.height, 1.0f))
-        } else
-          MediaFeatures(m.media_id, m.meta.kind, StubDim,
-            decodeStub(m.payload, StubDim))
+        m.meta.kind match {
+          case "image" =>
+            val s = decodeImage(m.media_id, m.payload)
+            val n = s.width.toLong * s.height
+            MediaFeatures(m.media_id, m.meta.kind, ImageDim, Array(
+              s.width.toFloat, s.height.toFloat,
+              (s.sum_r.toDouble / (255.0 * n)).toFloat,
+              (s.sum_g.toDouble / (255.0 * n)).toFloat,
+              (s.sum_b.toDouble / (255.0 * n)).toFloat,
+              (s.checksum.toDouble / (6.0 * 255 * 131 * (s.width + s.height) * n)).toFloat,
+              s.width.toFloat / s.height, 1.0f))
+          case "audio" =>
+            val s = decodeAudio(m.media_id, m.payload)
+            MediaFeatures(m.media_id, m.meta.kind, AudioDim, Array(
+              s.sample_rate.toFloat, s.n_samples.toFloat,
+              (s.sum_s.toDouble / (32768.0 * s.n_samples)).toFloat,
+              (s.sum_abs.toDouble / (32768.0 * s.n_samples)).toFloat,
+              (s.checksum.toDouble / (32768.0 * s.n_samples * s.n_samples)).toFloat,
+              1.0f))
+          case _ =>
+            MediaFeatures(m.media_id, m.meta.kind, StubDim,
+              decodeStub(m.payload, StubDim))
+        }
       }
     }
   }

@@ -511,9 +511,11 @@ FROM documents"""
     """SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS kind,
-       CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 32 END AS dim,
+       CASE WHEN doc_id % 3 = 0 THEN 8 WHEN doc_id % 3 = 1 THEN 6
+            ELSE 32 END AS dim,
        CASE WHEN doc_id % 3 = 0
             THEN 3 * (16 + doc_id % 16) * (16 + doc_id % 8)
+            WHEN doc_id % 3 = 1 THEN 2 * (200 + doc_id % 120)
             ELSE strlen(text) END::BIGINT AS content_bytes
 FROM documents"""
 
@@ -544,6 +546,31 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        sum((x * 131 + y) * ((v % 256) + 2 * ((v // 256) % 256)
            + 3 * ((v // 65536) % 256)))::BIGINT AS checksum
 FROM px GROUP BY 1, 2, 3"""
+
+  /** q38: REAL audio decode, hash-compared. The Spark side WAV-encodes a
+    * deterministic 16-bit PCM field (Multimodal.audioSample: s =
+    * (id*2654435761 + i*7919) % 65536 - 32768), decodes it back with
+    * javax.sound.sampled, and reports sample sum / absolute-amplitude
+    * sum / a frame-index-weighted checksum. This oracle recomputes the
+    * identical values in closed form from the formula — PCM is lossless,
+    * so only a faithful decode matches. The generate_series bound covers
+    * the max sample count (319 → i ≤ 318).
+    */
+  def q38: String =
+    """WITH auds AS (
+  SELECT doc_id, (200 + doc_id % 120)::BIGINT AS n
+  FROM documents WHERE doc_id % 3 = 1),
+smp AS (
+  SELECT a.doc_id, a.n, g.i,
+         (a.doc_id * 2654435761 + g.i * 7919) % 65536 - 32768 AS s
+  FROM auds a
+  CROSS JOIN generate_series(0, 318) g(i)
+  WHERE g.i < a.n)
+SELECT doc_id AS media_id, 8000 AS sample_rate, n AS n_samples,
+       sum(s)::BIGINT AS sum_s,
+       sum(abs(s))::BIGINT AS sum_abs,
+       sum(i * s)::BIGINT AS checksum
+FROM smp GROUP BY 1, 2, 3"""
 
   /** q11: snippets — replay of the full pipeline over the padded quantized
     * series: brute pair-distance matrix per candidate, column minima +

@@ -61,4 +61,35 @@ object StageCache {
       n
     }
   }
+
+  /** Guard for an input a caller's operator will CONSUME TWICE (e.g. the
+    * short-series and tile branches of the distributed MP builders): if
+    * re-scanning the plan is ~free — it is already cached, or it is just
+    * a relation scan with projections/filters on top — return it as-is;
+    * otherwise persist-and-register it so the fork doesn't recompute an
+    * expensive upstream (a join, an aggregate, a kernel mapPartitions)
+    * once per branch. This closes the "caller forgot to persist a derived
+    * input" footgun without paying cache materialization on the common
+    * table-scan case, where a persist is measurably SLOWER than the
+    * second scan.
+    */
+  def forked[T](ds: Dataset[T]): Dataset[T] =
+    if (ds.storageLevel != StorageLevel.NONE || cheapToRescan(ds)) ds
+    else persist(ds)
+
+  /** A plan is cheap to rescan when every node on it is a leaf relation,
+    * a projection/filter, or object (de)serialization glue — the shapes
+    * whole-stage codegen re-runs at scan speed. Anything else (joins,
+    * aggregates, exchanges, user map functions) may carry arbitrary
+    * compute, so a second scan pays it twice.
+    */
+  private def cheapToRescan(ds: Dataset[_]): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    ds.queryExecution.optimizedPlan.collect {
+      case p if !(p.isInstanceOf[LeafNode] || p.isInstanceOf[Project] ||
+        p.isInstanceOf[Filter] || p.isInstanceOf[TypedFilter] ||
+        p.isInstanceOf[SerializeFromObject] ||
+        p.isInstanceOf[DeserializeToObject]) => p
+    }.isEmpty
+  }
 }

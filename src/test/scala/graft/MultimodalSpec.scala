@@ -61,7 +61,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a decodable image"))
   }
 
-  test("audio/video stub decode is deterministic and dimension-stable") {
+  /** Closed-form audio stats straight from the sample formula (no audio
+    * codec): the independent mirror of the q38 oracle SQL.
+    */
+  private def formulaAudioStats(id: Long): Multimodal.AudioStats = {
+    val n = Multimodal.audioSamples(id)
+    var sum = 0L; var sabs = 0L; var ck = 0L
+    for (i <- 0 until n) {
+      val s = (id * 2654435761L + i * 7919L) % 65536L - 32768L
+      sum += s; sabs += math.abs(s); ck += i.toLong * s
+    }
+    Multimodal.AudioStats(id, Multimodal.AudioSampleRate, n, sum, sabs, ck)
+  }
+
+  test("a known 4-sample WAV round-trips through encode + " +
+      "javax.sound.sampled decode sample-exactly") {
+    // hand-build a 4-sample WAV with known amplitudes via the encoder's
+    // own container, then check the decode arithmetic directly
+    val samples = Array[Short](100, -200, 32767, -32768)
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+    samples.foreach(bb.putShort)
+    val s = Multimodal.decodeAudio(5L, bb.array())
+    assert(s.sample_rate == 8000 && s.n_samples == 4L)
+    assert(s.sum_s == 100L - 200L + 32767L - 32768L)
+    assert(s.sum_abs == 100L + 200L + 32767L + 32768L)
+    assert(s.checksum == 0L * 100 + 1L * -200 + 2L * 32767 + 3L * -32768)
+  }
+
+  test("seeded WAV decode reproduces the closed-form sample statistics " +
+      "for a spread of ids (the q38 invariant)") {
+    for (id <- Seq(1L, 4L, 43L, 124L, 4999L)) {
+      val decoded = Multimodal.decodeAudio(id, Multimodal.encodeWav(id))
+      assert(decoded == formulaAudioStats(id), s"id=$id decode != formula")
+    }
+  }
+
+  test("decodeAudio fails loudly on an undecodable payload") {
+    intercept[Exception] {
+      Multimodal.decodeAudio(9L, Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("video stub decode is deterministic and dimension-stable") {
     val payload = "some synthetic pcm-ish bytes".getBytes("UTF-8")
     val a = Multimodal.decodeStub(payload, Multimodal.StubDim)
     val b = Multimodal.decodeStub(payload, Multimodal.StubDim)
