@@ -109,32 +109,58 @@ object Bench {
     scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
   } catch { case _: Throwable => -1.0 }
 
-  /** (steal, total) jiffies from /proc/stat's aggregate cpu line. Load
-    * average only sees THIS VM's runqueue; on a shared host the
+  /** (steal, busy, total) jiffies from /proc/stat's aggregate cpu line.
+    * Load average only sees THIS VM's runqueue; on a shared host the
     * hypervisor can starve the VM with nothing visible in loadavg —
     * steal time measured ACROSS a rep is the direct evidence (r5 saw a
-    * local[4] trial take 288 s at pre-trial load 0.5).
+    * local[4] trial take 288 s at pre-trial load 0.5). `busy` is every
+    * non-idle, non-iowait, non-steal jiffy (user+nice+system+irq+
+    * softirq+guest) — combined with the process's own jiffies it yields
+    * the EXTERNAL busy share, the r6 cleanliness criterion.
     */
-  def cpuJiffies(): (Long, Long) = try {
+  def cpuJiffies(): (Long, Long, Long) = try {
     val parts = scala.io.Source.fromFile("/proc/stat").getLines()
       .next().trim.split("\\s+")
     val vals = parts.drop(1).map(_.toLong)
-    (if (vals.length > 7) vals(7) else 0L, vals.sum)
-  } catch { case _: Throwable => (-1L, -1L) }
+    val steal = if (vals.length > 7) vals(7) else 0L
+    val idleish = (if (vals.length > 3) vals(3) else 0L) +
+      (if (vals.length > 4) vals(4) else 0L)
+    (steal, vals.sum - idleish - steal, vals.sum)
+  } catch { case _: Throwable => (-1L, -1L, -1L) }
+
+  /** This process's own (utime+stime) jiffies from /proc/self/stat —
+    * all JVM threads included. Parsed after the last ')' because comm
+    * may contain spaces.
+    */
+  def selfJiffies(): Long = try {
+    val line = scala.io.Source.fromFile("/proc/self/stat").mkString
+    val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+    rest(11).toLong + rest(12).toLong // utime, stime (fields 14, 15)
+  } catch { case _: Throwable => -1L }
 
   /** One timed rep: seconds, load1 sampled immediately before, the
-    * fraction of CPU time the hypervisor stole DURING the rep (-1 when
-    * /proc/stat is unreadable), and the error if run() threw — a broken
-    * query must never masquerade as a fast one in the artifact of record.
+    * fraction of CPU time the hypervisor stole DURING the rep, the
+    * EXTERNAL busy share (machine CPU consumed by processes other than
+    * this JVM during the rep — -1 when /proc is unreadable), and the
+    * error if run() threw — a broken query must never masquerade as a
+    * fast one in the artifact of record.
     */
   final case class Rep(sec: Double, load: Double, steal: Double,
-      err: Option[String] = None)
+      ext: Double = 0.0, err: Option[String] = None)
 
   /** A rep recorded under both guard limits with READABLE samplers; a -1
-    * sentinel is unknown conditions, never clean.
+    * sentinel is unknown conditions, never clean. Cleanliness is judged
+    * on what actually competes with the measurement — hypervisor steal
+    * and external processes' CPU share — NOT on load1: a full battery at
+    * local[32] keeps its OWN decaying 1-minute average above any fixed
+    * limit from mid-battery on (r6 measured the same q20+ cut-point in
+    * two consecutive batteries), so a load gate structurally can't land
+    * clean in the battery's second half even on an idle host, and the
+    * battery-level retry defeats itself: each retried query's reps push
+    * load1 back over the limit for every row queued behind it.
     */
   def isClean(r: Rep): Boolean =
-    r.load >= 0 && r.load <= LoadLimit && r.steal >= 0 && r.steal <= StealLimit
+    r.steal >= 0 && r.steal <= StealLimit && r.ext >= 0 && r.ext <= ExtLimit
 
   /** Per-query outcome: cold rep, chosen warm stat, the rep BEHIND the
     * warm stat (so the battery can tell whether the guard ever landed a
@@ -144,32 +170,38 @@ object Bench {
     * first error any rep threw.
     */
   final case class QResult(name: String, cold: Rep, warm: Double,
-      loadMax: Double, stealMax: Double, extraReps: Int, stat: String,
-      chosen: Rep, err: Option[String]) {
+      loadMax: Double, stealMax: Double, extMax: Double, extraReps: Int,
+      stat: String, chosen: Rep, err: Option[String]) {
     /** True when the reported warm number was recorded under both guard
       * limits — the battery-level retry requeues rows where this is false.
       */
     def chosenClean: Boolean = isClean(chosen)
   }
 
-  /** Contamination guard thresholds: a warm rep landing on a loaded host
-    * (load1 > LoadLimit), a rep with more than StealLimit of its CPU
-    * stolen by the hypervisor, or warm reps spreading more than
-    * SpreadLimit× trigger extra reps; the reported warm number is then
-    * the rep recorded under the least contention (lowest steal, then
-    * lowest load, ties → fastest), not a median over garbage.
+  /** Contamination guard thresholds: a rep with more than StealLimit of
+    * its CPU stolen by the hypervisor, external processes consuming more
+    * than ExtLimit of machine capacity during the rep, or warm reps
+    * spreading more than SpreadLimit× trigger extra reps; the reported
+    * warm number is then the rep recorded under the least contention
+    * (lowest steal, then lowest external share, ties → fastest), not a
+    * median over garbage. LoadLimit is retained for the r03–r05
+    * continuity fields and the pre-battery quiet wait only — load1 is
+    * recorded per rep but no longer gates cleanliness (see isClean).
     */
   val LoadLimit = 2.0
   val SpreadLimit = 2.0
   val StealLimit = 0.05
+  val ExtLimit = 0.10
 
   def measureQuery(name: String, warmReps: Int, maxExtra: Int,
       loadSampler: () => Double = () => load1(),
-      jiffySampler: () => (Long, Long) = () => cpuJiffies())
+      jiffySampler: () => (Long, Long, Long) = () => cpuJiffies(),
+      selfSampler: () => Long = () => selfJiffies())
       (run: () => Unit)(cleanup: () => Unit = () => ()): QResult = {
     def rep(): Rep = {
       val ld = loadSampler()
-      val (s0, t0j) = jiffySampler()
+      val (s0, b0, t0j) = jiffySampler()
+      val self0 = selfSampler()
       val t0 = System.nanoTime()
       val err = try { run(); None } catch {
         case e: Throwable =>
@@ -177,25 +209,29 @@ object Bench {
             Option(e.getMessage).getOrElse("")).take(160))
       }
       val dt = (System.nanoTime() - t0) / 1e9 // cleanup is untimed
-      val (s1, t1j) = jiffySampler()
-      val steal =
-        if (s0 < 0 || s1 < 0 || t1j <= t0j) -1.0
-        else (s1 - s0).toDouble / (t1j - t0j)
+      val (s1, b1, t1j) = jiffySampler()
+      val self1 = selfSampler()
+      val bad = s0 < 0 || s1 < 0 || t1j <= t0j
+      val steal = if (bad) -1.0 else (s1 - s0).toDouble / (t1j - t0j)
+      val ext =
+        if (bad || self0 < 0 || self1 < 0 || b0 < 0 || b1 < 0) -1.0
+        else math.max(0.0,
+          ((b1 - b0) - (self1 - self0)).toDouble / (t1j - t0j))
       try cleanup() catch { case _: Throwable => () }
-      Rep(dt, ld, steal, err)
+      Rep(dt, ld, steal, ext, err)
     }
     val cold = rep()
     var warm = Vector.tabulate(math.max(0, warmReps))(_ => rep())
     def contaminated(rs: Seq[Rep]): Boolean = rs.nonEmpty && (
-      rs.exists(r => r.load > LoadLimit || r.steal > StealLimit) ||
+      rs.exists(r => r.steal > StealLimit || r.ext > ExtLimit) ||
         rs.map(_.sec).max > SpreadLimit * rs.map(_.sec).min)
     var extra = 0
     val triggered = contaminated(warm)
     if (triggered) {
       // re-run until ONE rep lands under both limits (that rep will be
       // the minload winner — further extras only waste battery time), up
-      // to maxExtra; a failed load/steal read (-1) is unknown, not clean,
-      // and when BOTH samplers are permanently blind the loop can never
+      // to maxExtra; a failed steal/ext read (-1) is unknown, not clean,
+      // and when the samplers are permanently blind the loop can never
       // prove cleanliness — stop after one extra instead of burning the
       // full budget on unknowable conditions
       var clean = false
@@ -205,7 +241,7 @@ object Bench {
         warm :+= r
         extra += 1
         clean = isClean(r)
-        blind = r.load < 0 && r.steal < 0
+        blind = r.steal < 0 && r.ext < 0
       }
     }
     // a -1 sentinel (unreadable /proc) must sort as UNKNOWN, never as
@@ -214,16 +250,17 @@ object Bench {
     val (chosen, stat) =
       if (warm.isEmpty) (cold, "cold")
       else if (triggered)
-        (warm.minBy(r => (key(r.steal), key(r.load), r.sec)), "minload")
+        (warm.minBy(r => (key(r.steal), key(r.ext), r.sec)), "minload")
       else {
         val s = warm.sortBy(_.sec)
         (s((s.length - 1) / 2), if (warm.length >= 3) "median" else "best")
       }
     val loadMax = (cold +: warm).map(_.load).max
     val stealMax = (cold +: warm).map(_.steal).max
+    val extMax = (cold +: warm).map(_.ext).max
     val firstErr = (cold +: warm).flatMap(_.err).headOption
-    QResult(name, cold, chosen.sec, loadMax, stealMax, extra, stat,
-      chosen, firstErr)
+    QResult(name, cold, chosen.sec, loadMax, stealMax, extMax, extra,
+      stat, chosen, firstErr)
   }
 
   def main(args: Array[String]): Unit = {
@@ -289,12 +326,27 @@ object Bench {
     if (dirty.nonEmpty && !sys.env.contains("SPARK_GRAFT_NO_BATTERY_RETRY")) {
       val deadline = System.nanoTime() +
         sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_SEC", "180").toLong * 1000000000L
-      while (load1() > LoadLimit && System.nanoTime() < deadline)
-        Thread.sleep(10000)
+      // wait for measured EXTERNAL quiet (a 1 s steal+ext sample), not
+      // load1 — the battery's own decaying load average would otherwise
+      // hold the retry hostage on an idle host
+      def externalQuiet(): Boolean = {
+        val (s0, b0, t0) = cpuJiffies(); val self0 = selfJiffies()
+        Thread.sleep(1000)
+        val (s1, b1, t1) = cpuJiffies(); val self1 = selfJiffies()
+        if (s0 < 0 || s1 < 0 || t1 <= t0) true // blind: don't spin forever
+        else {
+          val steal = (s1 - s0).toDouble / (t1 - t0)
+          val ext = math.max(0.0,
+            ((b1 - b0) - (self1 - self0)).toDouble / (t1 - t0))
+          steal <= StealLimit && ext <= ExtLimit
+        }
+      }
+      while (!externalQuiet() && System.nanoTime() < deadline)
+        Thread.sleep(9000)
       def cleanKey(q: QResult): (Int, Double, Double) = (
         if (q.chosenClean) 0 else 1,
         if (q.chosen.steal < 0) Double.MaxValue else q.chosen.steal,
-        if (q.chosen.load < 0) Double.MaxValue else q.chosen.load)
+        if (q.chosen.ext < 0) Double.MaxValue else q.chosen.ext)
       results = results.map { r =>
         if (!dirty.contains(r.name)) r
         else {
@@ -311,6 +363,7 @@ object Bench {
     val qsWarm = jmap(r => f"${r.warm}%.3f")
     val qsLoad = jmap(r => f"${r.loadMax}%.2f")
     val qsSteal = jmap(r => f"${r.stealMax}%.3f")
+    val qsExt = jmap(r => f"${r.extMax}%.3f")
     val qsExtra = jmap(r => s"${r.extraReps}")
     val qsStat = jmap(r => "\"" + r.stat + "\"")
     val qsClean = jmap(r => s"${r.chosenClean}")
@@ -336,21 +389,28 @@ object Bench {
     val pipelineReps = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_REPS", "2").toInt
     var pipeLoads = Vector.empty[Double]
     var pipeSteals = Vector.empty[Double]
+    var pipeExts = Vector.empty[Double]
     def pipeRep(first: Boolean): (Long, Long, Long, Double, Double, Double) = {
       pipeLoads :+= load1()
-      val (s0, t0j) = cpuJiffies()
+      val (s0, b0, t0j) = cpuJiffies()
+      val self0 = selfJiffies()
       // the generic-rollup comparison leg informs plan choice, not warm
       // timing — run it once
       val r = pipelineBench(spark, benchConvs, turnsScale, withGeneric = first)
-      val (s1, t1j) = cpuJiffies()
-      pipeSteals :+= (if (s0 < 0 || s1 < 0 || t1j <= t0j) -1.0
-        else (s1 - s0).toDouble / (t1j - t0j))
+      val (s1, b1, t1j) = cpuJiffies()
+      val self1 = selfJiffies()
+      val bad = s0 < 0 || s1 < 0 || t1j <= t0j
+      pipeSteals :+= (if (bad) -1.0 else (s1 - s0).toDouble / (t1j - t0j))
+      pipeExts :+= (if (bad || self0 < 0 || self1 < 0) -1.0
+        else math.max(0.0, ((b1 - b0) - (self1 - self0)).toDouble / (t1j - t0j)))
       graft.util.StageCache.release(spark)
       spark.catalog.clearCache()
       r
     }
+    def pipeDirty(i: Int): Boolean =
+      pipeSteals(i) > StealLimit || pipeExts(i) > ExtLimit
     var pipeRuns = (1 to math.max(1, pipelineReps)).map(i => pipeRep(i == 1)).toVector
-    if (pipeRuns.length > 1 && pipeLoads.tail.forall(_ > LoadLimit))
+    if (pipeRuns.length > 1 && pipeRuns.indices.tail.forall(pipeDirty))
       pipeRuns :+= pipeRep(false) // every warm rep contaminated: one retry
     val (nPoints, rolled, nSubseq, rollupSec, genericSec, mpSec) = pipeRuns.head
     // warm = best of the post-cold reps only; with a single rep there is
@@ -363,6 +423,7 @@ object Bench {
     val subseqPerSec = nSubseq / mpSec
     val pipeLoadJson = pipeLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val pipeStealJson = pipeSteals.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val pipeExtJson = pipeExts.map(s => f"$s%.3f").mkString("[", ",", "]")
 
     // Full rich session JSON → a FILE (r5 lesson: the driver's BENCH_rNN
     // capture keeps only a ~2 KB tail of stdout, so the 6 KB line of r5
@@ -386,6 +447,7 @@ object Bench {
       pipeDigest +
       f""""$warmKey":$qsWarm,"total_warm":$totalWarm%.3f,""" +
       f""""queries_load1":$qsLoad,"queries_steal_pct":$qsSteal,""" +
+      f""""queries_ext_pct":$qsExt,""" +
       f""""queries_extra_reps":$qsExtra,""" +
       f""""queries_warm_stat":$qsStat,""" +
       f""""queries_chosen_clean":$qsClean,""" +
@@ -400,6 +462,7 @@ object Bench {
       f""""mp_subsequences":$nSubseq,"mp_sec":$mpSec%.3f,""" +
       f""""subseq_per_sec":$subseqPerSec%.0f,""" +
       f""""pipeline_load1":$pipeLoadJson,"pipeline_steal_pct":$pipeStealJson,""" +
+      f""""pipeline_ext_pct":$pipeExtJson,""" +
       f""""rollup_sec_warm":$rollupWarm%.3f,"mp_sec_warm":$mpWarm%.3f,""" +
       f""""points_per_sec_warm":${nPoints / rollupWarm}%.0f,""" +
       f""""subseq_per_sec_warm":${nSubseq / mpWarm}%.0f}"""

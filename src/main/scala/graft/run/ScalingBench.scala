@@ -42,8 +42,8 @@ object ScalingBench {
   }
 
   final case class Trial(cpus: Int, round: Int, load: Double,
-      steal: Double, rollupSec: Double, mpSec: Double, points: Long,
-      subseq: Long)
+      steal: Double, ext: Double, rollupSec: Double, mpSec: Double,
+      points: Long, subseq: Long)
 
   def main(args: Array[String]): Unit = {
     val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "4").toInt
@@ -56,15 +56,22 @@ object ScalingBench {
     for (round <- 1 to rounds; cpus <- Seq(lo, hi)) {
       val spark = session(cpus)
       val ld = load1
-      val (s0, t0j) = graft.Bench.cpuJiffies()
+      val (s0, b0, t0j) = graft.Bench.cpuJiffies()
+      val self0 = graft.Bench.selfJiffies()
       // scaling trials time the headline colocated plan only
       val r = graft.Bench.pipelineBench(spark, convs, turnsScale, withGeneric = false)
-      val (s1, t1j) = graft.Bench.cpuJiffies()
-      val steal = if (s0 < 0 || s1 < 0 || t1j <= t0j) -1.0
-        else (s1 - s0).toDouble / (t1j - t0j)
-      trials += Trial(cpus, round, ld, steal, r._4, r._6, r._1, r._3)
+      val (s1, b1, t1j) = graft.Bench.cpuJiffies()
+      val self1 = graft.Bench.selfJiffies()
+      val bad = s0 < 0 || s1 < 0 || t1j <= t0j
+      val steal = if (bad) -1.0 else (s1 - s0).toDouble / (t1j - t0j)
+      // external busy share: CPU consumed by processes other than this
+      // JVM during the trial — the contention measure load1 can't give
+      // (the interleaved battery's own decaying average dominates load1)
+      val ext = if (bad || self0 < 0 || self1 < 0) -1.0
+        else math.max(0.0, ((b1 - b0) - (self1 - self0)).toDouble / (t1j - t0j))
+      trials += Trial(cpus, round, ld, steal, ext, r._4, r._6, r._1, r._3)
       System.err.println(f"[scaling] round=$round cpus=$cpus load=$ld%.1f " +
-        f"steal=$steal%.3f rollup=${r._4}%.2fs mp=${r._6}%.2fs")
+        f"steal=$steal%.3f ext=$ext%.3f rollup=${r._4}%.2fs mp=${r._6}%.2fs")
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -90,18 +97,20 @@ object ScalingBench {
         val tLo = ts.find(_.cpus == lo).get
         val tHi = ts.find(_.cpus == hi).get
         def sk(t: Trial) = if (t.steal < 0) 1.0 else t.steal
+        def ek(t: Trial) = if (t.ext < 0) 1.0 else t.ext
         (rd, tLo, tHi, math.max(tLo.load, tHi.load),
-          math.max(sk(tLo), sk(tHi)))
+          math.max(math.max(sk(tLo), sk(tHi)), math.max(ek(tLo), ek(tHi))))
     }.toSeq
-    // least-stolen round first (steal is the direct contention measure),
-    // load as the tie-breaker
-    val (cleanRd, cLo, cHi, cLoad, _) = byRound.minBy(t => (t._5, t._4))
+    // least-contended round first (worst of steal and external-busy share
+    // across the pair — both are direct contention measures), load as the
+    // tie-breaker
+    val (cleanRd, cLo, cHi, cLoad, cCont) = byRound.minBy(t => (t._5, t._4))
     val effRollupPair = (cLo.rollupSec / cHi.rollupSec) / factor
     val effMpPair = (cLo.mpSec / cHi.mpSec) / factor
 
     val rows = trials.map(t =>
       f"""{"cpus":${t.cpus},"round":${t.round},"load":${t.load}%.2f,""" +
-        f""""steal_pct":${t.steal}%.3f,""" +
+        f""""steal_pct":${t.steal}%.3f,"ext_pct":${t.ext}%.3f,""" +
         f""""rollup_sec":${t.rollupSec}%.3f,"mp_sec":${t.mpSec}%.3f}""").mkString(",")
     println(f"""{"bench":"scaling_interleaved","cpus_lo":$lo,"cpus_hi":$hi,""" +
       f""""convs":$convs,"turns_scale":$turnsScale,"rounds":$rounds,""" +
@@ -112,6 +121,7 @@ object ScalingBench {
       f""""mp_sps_hi":${mHi.subseq / mHi.mpSec}%.0f,""" +
       f""""efficiency_rollup":$effRollup%.3f,"efficiency_mp":$effMp%.3f,""" +
       f""""cleanest_round":$cleanRd,"cleanest_round_load":$cLoad%.2f,""" +
+      f""""cleanest_round_contention":$cCont%.3f,""" +
       f""""efficiency_rollup_cleanpair":$effRollupPair%.3f,""" +
       f""""efficiency_mp_cleanpair":$effMpPair%.3f,""" +
       f""""trials":[$rows]}""")
