@@ -32,16 +32,29 @@ object Bench {
     import graft.dist.DistributedMp
     import graft.dist.DistributedMp.SeriesRow
 
+    // Storage level for the corpus + rollup caches. Default MEMORY_ONLY
+    // matches r2–r6 batteries. At corpus sizes where the deserialized
+    // caches outgrow the storage pool (≈250M points in an 80g heap),
+    // MEMORY_ONLY evicts under execution-memory pressure and the timed
+    // legs silently pay REGENERATION of evicted partitions — measured at
+    // 249M points/local[32]: rollup 83→123 s across two trials of one
+    // corpus, i.e. the bench was timing the generator, not the engine.
+    // MEMORY_AND_DISK_SER spills compactly instead (the storage-backed
+    // shape a real Iceberg scan has): set SPARK_GRAFT_POINTS_STORAGE=
+    // MEMORY_AND_DISK_SER for big-corpus runs and say so in BENCH.md.
+    val storage = org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_POINTS_STORAGE", "MEMORY_ONLY"))
+
     // string-free points generation (values identical to deriving
     // length(text) from the transcript table — asserted in tests)
     val points = TranscriptGen.generatePoints(spark, numConvs,
-      turnsScale = turnsScale).cache()
+      turnsScale = turnsScale).persist(storage)
     val nPoints = points.count()
 
     // headline leg: generator output is conv-bucketed (one conversation
     // per partition) → fused single-scan plan, one pass emits all tiers
     var t0 = System.nanoTime()
-    val all = Rollup.rollupAllColocated(points).cache()
+    val all = Rollup.rollupAllColocated(points).persist(storage)
     val rolled = all.count()
     val rollupSec = (System.nanoTime() - t0) / 1e9
     val m1 = all.where($"tier" === "1m").as[graft.schema.TierAgg]
