@@ -113,6 +113,29 @@ object Bench {
       s""""mp":${graft.run.PlanDigest.of(profiles.toDF()).json}}"""
   }
 
+  /** JSON string escape for embedded error messages: Spark exception
+    * text routinely contains newlines (stack fragments, plan dumps), and
+    * an unescaped control char makes the whole session JSON invalid in
+    * exactly the error case it exists to record. Also drops a trailing
+    * unpaired high surrogate left by a character-count truncation.
+    */
+  def jsonEscape(raw: String): String = {
+    val s =
+      if (raw.nonEmpty && Character.isHighSurrogate(raw.last)) raw.dropRight(1)
+      else raw
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   /** Fresh 1-minute load average — sampled BEFORE every rep, so each
     * timed number carries its own recording conditions (the r4 lesson: one
     * start-of-run sample can't defend individual queries against a burst
@@ -135,10 +158,15 @@ object Bench {
     val parts = scala.io.Source.fromFile("/proc/stat").getLines()
       .next().trim.split("\\s+")
     val vals = parts.drop(1).map(_.toLong)
-    val steal = if (vals.length > 7) vals(7) else 0L
-    val idleish = (if (vals.length > 3) vals(3) else 0L) +
-      (if (vals.length > 4) vals(4) else 0L)
-    (steal, vals.sum - idleish - steal, vals.sum)
+    def at(i: Int) = if (vals.length > i) vals(i) else 0L
+    // columns: user nice system idle iowait irq softirq steal guest gnice.
+    // The kernel already folds guest/guest_nice into user/nice, so both
+    // busy and total must use the explicit first-eight columns only —
+    // vals.sum would double-count guest time on hosts running nested VMs.
+    val steal = at(7)
+    val busy = at(0) + at(1) + at(2) + at(5) + at(6)
+    val total = busy + at(3) + at(4) + steal
+    (steal, busy, total)
   } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   /** This process's own (utime+stime) jiffies from /proc/self/stat —
@@ -235,9 +263,16 @@ object Bench {
     }
     val cold = rep()
     var warm = Vector.tabulate(math.max(0, warmReps))(_ => rep())
-    def contaminated(rs: Seq[Rep]): Boolean = rs.nonEmpty && (
-      rs.exists(r => r.steal > StealLimit || r.ext > ExtLimit) ||
-        rs.map(_.sec).max > SpreadLimit * rs.map(_.sec).min)
+    // a rep whose run() threw records its (near-zero) wall time for the
+    // error ledger only — it must NEVER compete in the warm selection,
+    // or a query that fails fast on every rep reports a tiny warm number
+    def ok(rs: Seq[Rep]): Seq[Rep] = rs.filter(_.err.isEmpty)
+    def contaminated(rs: Seq[Rep]): Boolean = {
+      val good = ok(rs)
+      good.nonEmpty && (
+        good.exists(r => r.steal > StealLimit || r.ext > ExtLimit) ||
+          good.map(_.sec).max > SpreadLimit * good.map(_.sec).min)
+    }
     var extra = 0
     val triggered = contaminated(warm)
     if (triggered) {
@@ -260,13 +295,18 @@ object Bench {
     // a -1 sentinel (unreadable /proc) must sort as UNKNOWN, never as
     // the cleanest rep
     def key(v: Double): Double = if (v < 0) Double.MaxValue else v
+    val okWarm = ok(warm)
     val (chosen, stat) =
       if (warm.isEmpty) (cold, "cold")
+      else if (okWarm.isEmpty)
+        // every warm rep threw: report the SLOWEST wall so a broken query
+        // can never masquerade as a fast one; stat names the condition
+        (warm.maxBy(_.sec), "errored")
       else if (triggered)
-        (warm.minBy(r => (key(r.steal), key(r.ext), r.sec)), "minload")
+        (okWarm.minBy(r => (key(r.steal), key(r.ext), r.sec)), "minload")
       else {
-        val s = warm.sortBy(_.sec)
-        (s((s.length - 1) / 2), if (warm.length >= 3) "median" else "best")
+        val s = okWarm.sortBy(_.sec)
+        (s((s.length - 1) / 2), if (okWarm.length >= 3) "median" else "best")
       }
     val loadMax = (cold +: warm).map(_.load).max
     val stealMax = (cold +: warm).map(_.steal).max
@@ -311,6 +351,12 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => }
       }
+      // materialize the q36 bucket(conv_id) storage layout UNTIMED: the
+      // one-time bucketBy write is ingest cost, not query cost — without
+      // this pre-pass the cold rep of q36_rollup_colocated times the
+      // parquet write instead of the zero-exchange scan it exists to show
+      try SparkEntry.bucketedPoints(spark, sfDir).count()
+      catch { case _: Throwable => }
     }
     def runQuery(name: String): QResult =
       measureQuery(name, warmReps, maxExtra) { () =>
@@ -381,11 +427,14 @@ object Bench {
     val qsStat = jmap(r => "\"" + r.stat + "\"")
     val qsClean = jmap(r => s"${r.chosenClean}")
     val qErrors = results.filter(_.err.nonEmpty)
-      .map(r => "\"" + r.name + "\":\"" +
-        r.err.get.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .map(r => "\"" + r.name + "\":\"" + jsonEscape(r.err.get) + "\"")
       .mkString("{", ",", "}")
     val nErrors = results.count(_.err.nonEmpty)
-    val batteryClean = results.forall(r => r.stat != "minload" || r.chosenClean)
+    // a battery with ANY error is not a clean artifact of record — the
+    // erroring query's numbers (slowest-errored-rep wall) are sentinels,
+    // not measurements
+    val batteryClean = nErrors == 0 &&
+      results.forall(r => r.stat != "minload" || r.chosenClean)
     val retriedJson = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_.cold.sec).sum
     val totalWarm = results.map(_.warm).sum

@@ -42,8 +42,17 @@ object SparkEntry {
     synchronized {
       if (!s.catalog.tableExists(table)) {
         val buckets = 16
-        val path = java.nio.file.Files.createTempDirectory("graft_bucketed")
-          .resolve(table).toString
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bucketed")
+        // the layout lives for the session only — reclaim the temp dir on
+        // JVM exit so repeated driver invocations don't leak /tmp space
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            import java.nio.file.{Files, Path}
+            import java.util.Comparator
+            Files.walk(tmpRoot).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p))
+          } catch { case _: Throwable => () }))
+        val path = tmpRoot.resolve(table).toString
         events(s, dir).select($"user_id".cast("string").as("conv_id"),
             lit("v").as("kind"), unix_micros($"ts".cast("timestamp")).as("bucket"),
             $"value")

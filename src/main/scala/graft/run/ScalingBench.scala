@@ -45,6 +45,25 @@ object ScalingBench {
       steal: Double, ext: Double, rollupSec: Double, mpSec: Double,
       points: Long, subseq: Long)
 
+  private def trialJson(t: Trial): String =
+    f"""{"cpus":${t.cpus},"round":${t.round},"load":${t.load}%.2f,""" +
+      f""""steal_pct":${t.steal}%.4f,"ext_pct":${t.ext}%.4f,""" +
+      f""""rollup_sec":${t.rollupSec}%.3f,"mp_sec":${t.mpSec}%.3f,""" +
+      f""""points":${t.points},"subseq":${t.subseq}}"""
+
+  private def parseTrial(line: String): Option[Trial] = {
+    def f(k: String): Option[String] =
+      ("\"" + k + "\":(-?[0-9.eE+]+)").r
+        .findFirstMatchIn(line).map(_.group(1))
+    try for {
+      c <- f("cpus"); r <- f("round"); l <- f("load"); s <- f("steal_pct")
+      e <- f("ext_pct"); ro <- f("rollup_sec"); m <- f("mp_sec")
+      p <- f("points"); sub <- f("subseq")
+    } yield Trial(c.toInt, r.toInt, l.toDouble, s.toDouble, e.toDouble,
+      ro.toDouble, m.toDouble, p.toLong, sub.toLong)
+    catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "4").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "16").toInt
@@ -52,8 +71,33 @@ object ScalingBench {
     val turnsScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS_SCALE", "20").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "6").toInt
 
+    // Per-trial checkpoint (r6 lesson: the 10× interleaved battery died
+    // at a 60-min harness timeout with 1 of 3 rounds done and NOTHING
+    // recorded). Every completed trial is appended to the jsonl
+    // immediately; a rerun with the same path skips (round, cpus) pairs
+    // already on disk, so a killed battery resumes instead of restarting.
+    val ckptPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_CKPT", "")
     val trials = scala.collection.mutable.ArrayBuffer.empty[Trial]
-    for (round <- 1 to rounds; cpus <- Seq(lo, hi)) {
+    if (ckptPath.nonEmpty) {
+      val p = java.nio.file.Paths.get(ckptPath)
+      if (java.nio.file.Files.exists(p)) {
+        val prior = scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala
+          .flatMap(parseTrial)
+        trials ++= prior
+        System.err.println(s"[scaling] resumed ${prior.size} trials from $ckptPath")
+      }
+    }
+    def done(round: Int, cpus: Int): Boolean =
+      trials.exists(t => t.round == round && t.cpus == cpus)
+    def checkpoint(t: Trial): Unit = if (ckptPath.nonEmpty) {
+      val p = java.nio.file.Paths.get(ckptPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (trialJson(t) + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    for (round <- 1 to rounds; cpus <- Seq(lo, hi) if !done(round, cpus)) {
       val spark = session(cpus)
       val ld = load1
       val (s0, b0, t0j) = graft.Bench.cpuJiffies()
@@ -69,7 +113,9 @@ object ScalingBench {
       // (the interleaved battery's own decaying average dominates load1)
       val ext = if (bad || self0 < 0 || self1 < 0) -1.0
         else math.max(0.0, ((b1 - b0) - (self1 - self0)).toDouble / (t1j - t0j))
-      trials += Trial(cpus, round, ld, steal, ext, r._4, r._6, r._1, r._3)
+      val t = Trial(cpus, round, ld, steal, ext, r._4, r._6, r._1, r._3)
+      trials += t
+      checkpoint(t)
       System.err.println(f"[scaling] round=$round cpus=$cpus load=$ld%.1f " +
         f"steal=$steal%.3f ext=$ext%.3f rollup=${r._4}%.2fs mp=${r._6}%.2fs")
       spark.stop()

@@ -168,4 +168,49 @@ class BenchGuardSpec extends AnyFunSuite {
       s"blind conditions must short-circuit extras, ran ${r.extraReps}")
     assert(!r.chosenClean) // unknown is never clean
   }
+
+  test("every-warm-rep-errored reports stat=errored, never a fast clean number") {
+    var n = 0
+    val r = Bench.measureQuery("allboom", warmReps = 3, maxExtra = 0,
+      loadSampler = () => 1.0, jiffySampler = () => (0L, 0L, 0L),
+      selfSampler = () => 0L) { () =>
+      n += 1
+      if (n == 1) { // cold rep succeeds slowly
+        val until = System.nanoTime() + 60L * 1000000L
+        while (System.nanoTime() < until) {}
+      } else sys.error("fails fast") // every warm rep throws near-instantly
+    }()
+    assert(r.stat == "errored",
+      s"all-errored warm reps must be labeled, got '${r.stat}'")
+    assert(r.err.nonEmpty)
+    assert(!r.chosenClean)
+  }
+
+  test("a fast-failing warm rep never competes with healthy reps for the warm stat") {
+    var n = 0
+    val r = Bench.measureQuery("mixed", warmReps = 3, maxExtra = 0,
+      loadSampler = () => 1.0, jiffySampler = () => (0L, 0L, 0L),
+      selfSampler = () => 0L) { () =>
+      n += 1
+      if (n == 3) sys.error("transient blowup") // one warm rep fails instantly
+      else {
+        val until = System.nanoTime() + 60L * 1000000L
+        while (System.nanoTime() < until) {}
+      }
+    }()
+    assert(r.err.nonEmpty, "the transient error must still surface")
+    assert(r.warm >= 0.05,
+      f"warm=${r.warm}%.4f s must come from a healthy rep, not the errored near-zero one")
+  }
+
+  test("jsonEscape neutralizes control chars, quotes, and dangling surrogates") {
+    val msg = "line1\nline2\tq\"uoted\" back\\slash \u0001\r" + "\ud83d"
+    val esc = Bench.jsonEscape(msg)
+    assert(!esc.exists(_ < 0x20), "no raw control chars may survive")
+    assert(esc.contains("\\n") && esc.contains("\\r") && esc.contains("\\t"))
+    assert(esc.contains("\\\"") && esc.contains("\\\\"))
+    assert(esc.contains("\\u0001"))
+    assert(!esc.exists(Character.isHighSurrogate),
+      "a truncation-split surrogate pair must not leak into the JSON")
+  }
 }
