@@ -322,6 +322,29 @@ object SparkEntry {
     "q38_audio_decode" -> ((s, dir) =>
       Multimodal.audioStats(Multimodal.syntheticMedia(documents(s, dir)))),
 
+    // the real decoders feeding the dedup path (multimodal PIPELINE, not
+    // just multimodal columns): decode → centered per-kind feature
+    // vectors → the same hyperplane-LSH + exact-cosine near-dup operator
+    // the document embeddings use. Planted rows re-ingest the payloads of
+    // ids < 24 under new ids — the re-uploaded-asset case media dedup
+    // exists for; their decoded vectors are identical, so cosine = 1.0
+    // against a measured 0.99990 max for honest non-duplicate pairs.
+    "q39_media_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(documents(s, dir))
+      val planted = media
+        .filter(m => m.meta.kind != "video" && m.media_id < 24)
+        .map(m => Multimodal.MediaRow(m.media_id + 1000000L, m.meta, m.payload))
+      val vecs = graft.util.StageCache.persist(
+        Multimodal.dedupVectors(media.union(planted)))
+      def kindDups(kind: String) = Dedup.embeddingDups(
+        vecs.where($"kind" === kind)
+          .select($"media_id".as("vec_id"), $"vec".as("embedding")),
+        threshold = 0.99995)
+        .select(lit(kind).as("kind"), $"id_a", $"id_b", $"cosine_e4")
+      kindDups("image").union(kindDups("audio"))
+    }),
+
     "q28_ab_join" -> ((s, dir) => MpQueries.q28(s, dir)),
     "q32_pmp_discords" -> ((s, dir) => MpQueries.q32(s, dir)),
     "q34_pmp_motifs" -> ((s, dir) => MpQueries.q34(s, dir)),
@@ -474,6 +497,7 @@ object SparkEntry {
     "q27_multimodal_features" -> OracleSqlGen.q27,
     "q37_image_decode" -> OracleSqlGen.q37,
     "q38_audio_decode" -> OracleSqlGen.q38,
+    "q39_media_dedup" -> OracleSqlGen.q39(),
     "q28_ab_join" -> OracleSqlGen.q28(),
     "q32_pmp_discords" -> OracleSqlGen.q32(),
     "q34_pmp_motifs" -> OracleSqlGen.q34(),

@@ -572,6 +572,90 @@ SELECT doc_id AS media_id, 8000 AS sample_rate, n AS n_samples,
        sum(i * s)::BIGINT AS checksum
 FROM smp GROUP BY 1, 2, 3"""
 
+  /** q39: media near-dup — the downstream CONSUMER of the real decoders.
+    * Replays the whole pipeline in closed form: per-id decoded-pixel /
+    * decoded-sample statistics (the q37/q38 formulas plus the nonlinear
+    * channel-product and modular moments), the centered dedup vectors,
+    * the planted duplicate payloads (ids < 24 re-ingested as id+1000000),
+    * the hyperplane-LSH candidate join, and the exact-cosine verify —
+    * every double expression operation-for-operation identical to the
+    * Spark side (Multimodal.imageDedupVec / audioDedupVec +
+    * Dedup.embeddingDups).
+    */
+  def q39(threshold: Double = 0.99995, planes: Int = 12, tables: Int = 4,
+      seed: Long = 7L): String = {
+    val iv = "[sr / (255.0*(w*h)) - 0.5, sg / (255.0*(w*h)) - 0.5, " +
+      "sb / (255.0*(w*h)) - 0.5, srg / (16256.25*(w*h)) - 1.0, " +
+      "(sgb / (16256.25*(w*h)) - 1.0) / 16.0, " +
+      "(srb / (16256.25*(w*h)) - 1.0) / 16.0, " +
+      "m1 / (125.0*(w*h)) - 1.0, m2 / (120.0*(w*h)) - 1.0]"
+    val av = "[ss / (32768.0*n), sa / (16384.0*n) - 1.0, " +
+      "ck / (16384.0*n*(n-1)), alt / (32768.0*n), " +
+      "s2 / ((1073741824.0/3.0)*n) - 1.0]"
+    s"""WITH imgs AS (
+  SELECT doc_id, (16 + doc_id % 16)::BIGINT AS w, (16 + doc_id % 8)::BIGINT AS h
+  FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT i.doc_id, i.w, i.h, gx.x, gy.y,
+         i.doc_id * 2654435761 + gx.x * 7919 + gy.y * 104729 AS v
+  FROM imgs i
+  CROSS JOIN generate_series(0, 30) gx(x)
+  CROSS JOIN generate_series(0, 22) gy(y)
+  WHERE gx.x < i.w AND gy.y < i.h),
+chan AS (
+  SELECT doc_id, w, h, x, y, v % 256 AS r, (v // 256) % 256 AS g,
+         (v // 65536) % 256 AS b
+  FROM px),
+ist AS (
+  SELECT doc_id, w, h,
+    sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg, sum(b)::BIGINT AS sb,
+    sum(r*g)::BIGINT AS srg, sum(g*b)::BIGINT AS sgb, sum(r*b)::BIGINT AS srb,
+    sum((r*g) % 251)::BIGINT AS m1, sum((g*b) % 241)::BIGINT AS m2
+  FROM chan GROUP BY 1, 2, 3),
+ivec0 AS (SELECT doc_id AS media_id, $iv AS vec FROM ist),
+ivec AS MATERIALIZED (
+  SELECT * FROM ivec0
+  UNION ALL SELECT media_id + 1000000, vec FROM ivec0 WHERE media_id < 24),
+ikey AS MATERIALIZED (
+  SELECT media_id, unnest(${bkeysSql("vec", planes, tables, seed, 8)}) AS bkey
+  FROM ivec),
+icand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM ikey a JOIN ikey b ON a.bkey = b.bkey AND a.media_id < b.media_id),
+iver AS (
+  SELECT 'image' AS kind, c.id_a, c.id_b, ${cosSql("va.vec", "vb.vec")} AS cos
+  FROM icand c JOIN ivec va ON va.media_id = c.id_a
+               JOIN ivec vb ON vb.media_id = c.id_b),
+auds AS (
+  SELECT doc_id, (200 + doc_id % 120)::BIGINT AS n
+  FROM documents WHERE doc_id % 3 = 1),
+smp AS (
+  SELECT a.doc_id, a.n, g.i,
+         (a.doc_id * 2654435761 + g.i * 7919) % 65536 - 32768 AS s
+  FROM auds a CROSS JOIN generate_series(0, 318) g(i) WHERE g.i < a.n),
+ast AS (
+  SELECT doc_id, n, sum(s)::BIGINT AS ss, sum(abs(s))::BIGINT AS sa,
+         sum(i*s)::BIGINT AS ck, sum((1 - 2*(i%2))*s)::BIGINT AS alt,
+         sum(s*s)::BIGINT AS s2
+  FROM smp GROUP BY 1, 2),
+avec0 AS (SELECT doc_id AS media_id, $av AS vec FROM ast),
+avec AS MATERIALIZED (
+  SELECT * FROM avec0
+  UNION ALL SELECT media_id + 1000000, vec FROM avec0 WHERE media_id < 24),
+akey AS MATERIALIZED (
+  SELECT media_id, unnest(${bkeysSql("vec", planes, tables, seed, 5)}) AS bkey
+  FROM avec),
+acand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM akey a JOIN akey b ON a.bkey = b.bkey AND a.media_id < b.media_id),
+aver AS (
+  SELECT 'audio' AS kind, c.id_a, c.id_b, ${cosSql("va.vec", "vb.vec")} AS cos
+  FROM acand c JOIN avec va ON va.media_id = c.id_a
+               JOIN avec vb ON vb.media_id = c.id_b)
+SELECT kind, id_a, id_b, floor(cos * 10000.0)::BIGINT AS cosine_e4
+FROM (SELECT * FROM iver UNION ALL SELECT * FROM aver) WHERE cos >= $threshold"""
+  }
+
   /** q11: snippets — replay of the full pipeline over the padded quantized
     * series: brute pair-distance matrix per candidate, column minima +
     * moving minima (MpDist.mpdistVector shape), per-offset 3rd-smallest

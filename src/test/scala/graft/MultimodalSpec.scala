@@ -116,4 +116,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
     assert(a.exists(_ != 0.0f))
   }
+
+  /** The q39 consumer invariants without Spark: identical payloads decode
+    * to identical dedup vectors (cosine exactly the self-cosine), distinct
+    * ids separate well below the 0.99995 query threshold, the components
+    * are centered (LSH hyperplanes through the origin can actually split
+    * the corpus), and dims are 8 (image) / 5 (audio).
+    */
+  test("media dedup vectors: copies collide, distinct ids separate, components centered") {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = 0L until 60L
+    val imgs = ids.filter(_ % 3 == 0)
+      .map(id => id -> Multimodal.imageDedupVec(id, Multimodal.encodePng(id)))
+    val auds = ids.filter(_ % 3 == 1)
+      .map(id => id -> Multimodal.audioDedupVec(id, Multimodal.encodeWav(id)))
+    assert(imgs.forall(_._2.length == 8))
+    assert(auds.forall(_._2.length == 5))
+    // a re-ingested payload is bit-identical → its vector is too
+    val (i0, v0) = imgs.head
+    assert(Multimodal.imageDedupVec(i0 + 1000000L,
+      Multimodal.encodePng(i0)).toSeq == v0.toSeq)
+    for (vecs <- Seq(imgs, auds)) {
+      val pairs = for {
+        (a, va) <- vecs; (b, vb) <- vecs if a < b
+      } yield cos(va, vb)
+      assert(pairs.max < 0.99995,
+        f"distinct ids must stay under the dup threshold, max=${pairs.max}%.6f")
+      // centered: every component's mean across ids is small relative to
+      // the component spreads (~0.01+), so bucket bits carry information
+      val dim = vecs.head._2.length
+      (0 until dim).foreach { d =>
+        val mean = vecs.map(_._2(d)).sum / vecs.size
+        assert(math.abs(mean) < 0.05,
+          f"component $d of dim-$dim vector is off-center: mean=$mean%.4f")
+      }
+    }
+  }
 }
