@@ -69,11 +69,43 @@ object StreamingRollup {
   def hourTierChained(m1Windowed: DataFrame): DataFrame = {
     val spark = m1Windowed.sparkSession
     import spark.implicits._
+    hourTierWindowed(m1Windowed)
+      .select($"conv_id", unix_micros($"w1h.start").as("bucket"),
+        $"cnt", $"sum", $"min", $"max")
+  }
+
+  /** The 1h tier KEEPING its window struct — the middle link of the
+    * three-stateful-operator cascade: a third aggregate can window over
+    * `w1h` exactly as this one windows over `w1m`.
+    */
+  def hourTierWindowed(m1Windowed: DataFrame): DataFrame = {
+    val spark = m1Windowed.sparkSession
+    import spark.implicits._
     m1Windowed
       .groupBy($"conv_id", window($"w1m", "1 hour").as("w1h"))
       .agg(sum($"cnt").as("cnt"), sum($"sum").as("sum"),
         min($"min").as("min"), max($"max").as("max"))
-      .select($"conv_id", unix_micros($"w1h.start").as("bucket"),
+  }
+
+  /** 1d tier chained on the streaming 1h aggregate: the FULL continuous
+    * cascade raw→1m→1h→1d as ONE streaming query with THREE stateful
+    * operators. Each link windows over the previous link's event-time
+    * window column (`window(w1h, "1 day")`), which is what lets the
+    * engine propagate the watermark through every aggregate: a day
+    * bucket finalizes when its last hour bucket can no longer change,
+    * which happens when that hour's last minute is sealed. All four
+    * measures are mergeable partials, so a finalized 1d row is identical
+    * to the batch rollup over the same accepted rows — gated across
+    * micro-batch boundaries in StreamingSpec.
+    */
+  def dayTierChained(h1Windowed: DataFrame): DataFrame = {
+    val spark = h1Windowed.sparkSession
+    import spark.implicits._
+    h1Windowed
+      .groupBy($"conv_id", window($"w1h", "1 day").as("w1d"))
+      .agg(sum($"cnt").as("cnt"), sum($"sum").as("sum"),
+        min($"min").as("min"), max($"max").as("max"))
+      .select($"conv_id", unix_micros($"w1d.start").as("bucket"),
         $"cnt", $"sum", $"min", $"max")
   }
 

@@ -121,6 +121,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     streamedClosed.zip(viaM1).foreach { case (s, b) => assert(s == b, s"$s vs $b") }
   }
 
+  test("chained 1d tier (THREE stateful operators, one query) finalizes " +
+      "identically to a batch 1d rollup across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (TranscriptGen.genConversation(42L, 7) ++
+      TranscriptGen.genConversation(42L, 8)).sortBy(_.ts.getTime)
+    // a sentinel turn 3 days past the corpus pushes the watermark over
+    // every earlier day boundary, so day buckets actually finalize
+    val maxBase = base.map(_.ts.getTime).max
+    val sentinel = base.last.copy(
+      ts = new java.sql.Timestamp(maxBase + 3L * 86400 * 1000))
+    val rows = base :+ sentinel
+
+    val source = MemoryStream[Transcript]
+    val d1 = StreamingRollup.dayTierChained(
+      StreamingRollup.hourTierWindowed(
+        StreamingRollup.minuteTierWindowed(source.toDS())))
+    val cp = java.nio.file.Files.createTempDirectory("graft_d1_cp").toString
+    val q = d1.writeStream.outputMode("append").format("memory")
+      .queryName("d1_chained").option("checkpointLocation", cp).start()
+    // three micro-batches so day buckets straddle state boundaries
+    val cut1 = rows.length / 3
+    val cut2 = 2 * rows.length / 3
+    source.addData(rows.take(cut1))
+    q.processAllAvailable()
+    source.addData(rows.slice(cut1, cut2))
+    q.processAllAvailable()
+    source.addData(rows.drop(cut2))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("d1_chained")
+      .orderBy("conv_id", "bucket").collect()
+
+    val maxTs = rows.map(_.ts.getTime).max * 1000L
+    val cutoff = maxTs - 10L * 60 * 1000000
+    val dayMicros = 86400000000L
+    val batch = spark.createDataset(rows)
+      .groupBy($"conv_id",
+        unix_micros(date_trunc("day", $"ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(length($"text")).cast("double").as("sum"),
+        min(length($"text")).cast("double").as("min"),
+        max(length($"text")).cast("double").as("max"))
+      .where($"bucket" + dayMicros <= cutoff)
+      .orderBy("conv_id", "bucket").collect()
+
+    assert(batch.length > 0, "fixture must close at least one day bucket")
+    val streamedClosed = streamed.filter(_.getLong(1) + dayMicros <= cutoff)
+    assert(streamedClosed.length == batch.length,
+      s"${streamedClosed.length} closed streamed vs ${batch.length} batch")
+    streamedClosed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s vs $b") }
+  }
+
   test("streaming left profile (flatMapGroupsWithState) equals the batch " +
       "computation across micro-batches") {
     import spark.implicits._
