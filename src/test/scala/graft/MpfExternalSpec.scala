@@ -256,6 +256,59 @@ class MpfExternalSpec extends AnyFunSuite {
     assert(norm(Mpf.fromBytes(google)) == norm(withNeg))
   }
 
+  test("a directory of profiles WRITTEN BY GOOGLE'S RUNTIME scans back " +
+      "through ProfileIO.readMpf's distributed binaryFile path intact") {
+    // reference-shaped analyze outputs (ref tests/test_io.py:73-128: mp +
+    // pmp + motifs + discords + av) serialized by DynamicMessage — the
+    // canonical runtime, not our writer — into the one-profile-per-file
+    // layout ProfileIO scans; the engine must decode every row equal to
+    // the source messages without any file passing through the driver.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mpf_runtime")
+    val msgs = (0 until 5).map { k =>
+      val name = f"conv$k%03d__v__1m__w8"
+      val m = mpSample.copy(
+        mp = mpSample.mp.map(_.copy(
+          mp = Some(Mpf.DMatrix(25, 0, seq(30 + k, 25))),
+          pi = Some(Mpf.IMatrix(25, 0, Array.tabulate(25)(i => ((i + k) % 25).toLong))))))
+      (name, m)
+    } ++ (0 until 3).map { k =>
+      val name = f"pan$k%03d__v__raw__w8"
+      val p = pmpSample.copy(
+        pmp = pmpSample.pmp.map(_.copy(
+          pmp = Some(Mpf.DMatrix(3, 57, seq(60 + k, 171))))))
+      (name, p)
+    }
+    msgs.foreach { case (name, m) =>
+      java.nio.file.Files.write(dir.resolve(s"$name.mpf"), gOut(m).toByteArray)
+    }
+
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-mpf-runtime-scan")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val rows = graft.run.ProfileIO.readMpf(spark, dir.toString).collect()
+      def key(r: graft.schema.MpProfileRow) = (r.conv_id, r.kind, r.tier, r.w)
+      def flat(r: graft.schema.MpProfileRow) = (key(r), r.ez, r.algorithm,
+        r.metric, r.join, r.mp.toSeq, r.pi.toSeq, r.lmp.toSeq, r.lpi.toSeq,
+        r.rmp.toSeq, r.rpi.toSeq)
+      val expected = msgs.flatMap { case (name, m) =>
+        val Array(conv, kind, tier, _) = name.split("__")
+        Mpf.toProfileRows(m, conv, kind, tier)
+      }
+      // 5 MP files -> 1 row each; 3 PMP files -> one row per window (3)
+      assert(rows.length == 5 + 3 * pmpSample.windows.length)
+      assert(rows.map(flat).sortBy(_._1.toString()).toSeq ==
+        expected.map(flat).sortBy(_._1.toString()).toSeq)
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("reference fixture (independent pure-Python encoder) parses under " +
       "Google's parser — the two external validators agree") {
     val in = getClass.getResourceAsStream("/ref/fixture_mp.mpf")
