@@ -43,24 +43,26 @@ object ScalingBench {
 
   final case class Trial(cpus: Int, round: Int, load: Double,
       steal: Double, ext: Double, rollupSec: Double, mpSec: Double,
-      points: Long, subseq: Long)
+      points: Long, subseq: Long, genericSec: Double = Double.NaN)
 
   private def trialJson(t: Trial): String =
     f"""{"cpus":${t.cpus},"round":${t.round},"load":${t.load}%.2f,""" +
       f""""steal_pct":${t.steal}%.4f,"ext_pct":${t.ext}%.4f,""" +
       f""""rollup_sec":${t.rollupSec}%.3f,"mp_sec":${t.mpSec}%.3f,""" +
+      f""""generic_sec":${t.genericSec}%.3f,""" +
       f""""points":${t.points},"subseq":${t.subseq}}"""
 
   private def parseTrial(line: String): Option[Trial] = {
     def f(k: String): Option[String] =
-      ("\"" + k + "\":(-?[0-9.eE+]+)").r
+      ("\"" + k + "\":(-?[0-9.eE+NaN]+)").r
         .findFirstMatchIn(line).map(_.group(1))
     try for {
       c <- f("cpus"); r <- f("round"); l <- f("load"); s <- f("steal_pct")
       e <- f("ext_pct"); ro <- f("rollup_sec"); m <- f("mp_sec")
       p <- f("points"); sub <- f("subseq")
     } yield Trial(c.toInt, r.toInt, l.toDouble, s.toDouble, e.toDouble,
-      ro.toDouble, m.toDouble, p.toLong, sub.toLong)
+      ro.toDouble, m.toDouble, p.toLong, sub.toLong,
+      f("generic_sec").map(_.toDouble).getOrElse(Double.NaN))
     catch { case _: Throwable => None }
   }
 
@@ -102,8 +104,14 @@ object ScalingBench {
       val ld = load1
       val (s0, b0, t0j) = graft.Bench.cpuJiffies()
       val self0 = graft.Bench.selfJiffies()
-      // scaling trials time the headline colocated plan only
-      val r = graft.Bench.pipelineBench(spark, convs, turnsScale, withGeneric = false)
+      // scaling trials time the headline colocated plan by default;
+      // SPARK_GRAFT_SCALING_GENERIC=1 also times the generic shuffle
+      // chain (the engine's rollup for non-bucketed layouts — the
+      // salted-repartition path, compute/serialization-dense, so its
+      // core-scaling is not masked by the socket's memory bandwidth
+      // the way the lean zero-exchange fused plan's is)
+      val withGen = sys.env.get("SPARK_GRAFT_SCALING_GENERIC").contains("1")
+      val r = graft.Bench.pipelineBench(spark, convs, turnsScale, withGeneric = withGen)
       val (s1, b1, t1j) = graft.Bench.cpuJiffies()
       val self1 = graft.Bench.selfJiffies()
       val bad = s0 < 0 || s1 < 0 || t1j <= t0j
@@ -113,11 +121,12 @@ object ScalingBench {
       // (the interleaved battery's own decaying average dominates load1)
       val ext = if (bad || self0 < 0 || self1 < 0) -1.0
         else math.max(0.0, ((b1 - b0) - (self1 - self0)).toDouble / (t1j - t0j))
-      val t = Trial(cpus, round, ld, steal, ext, r._4, r._6, r._1, r._3)
+      val t = Trial(cpus, round, ld, steal, ext, r._4, r._6, r._1, r._3, r._5)
       trials += t
       checkpoint(t)
       System.err.println(f"[scaling] round=$round cpus=$cpus load=$ld%.1f " +
-        f"steal=$steal%.3f ext=$ext%.3f rollup=${r._4}%.2fs mp=${r._6}%.2fs")
+        f"steal=$steal%.3f ext=$ext%.3f rollup=${r._4}%.2fs mp=${r._6}%.2fs " +
+        f"generic=${r._5}%.2fs")
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -132,6 +141,13 @@ object ScalingBench {
     val factor = hi.toDouble / lo
     val effRollup = (rLo.rollupSec / rHi.rollupSec) / factor
     val effMp = (mLo.mpSec / mHi.mpSec) / factor
+    // generic-chain best-of (NaN-safe: trials without the leg never win)
+    def bestGen(cpus: Int): Double = {
+      val xs = trials.filter(t => t.cpus == cpus && !t.genericSec.isNaN)
+      if (xs.isEmpty) Double.NaN else xs.map(_.genericSec).min
+    }
+    val gLo = bestGen(lo); val gHi = bestGen(hi)
+    val effGeneric = (gLo / gHi) / factor
 
     // cleanest interleaved round: both trials of one round share a noise
     // window; pick the round whose WORST pre-trial load is lowest. Round 1
@@ -166,6 +182,8 @@ object ScalingBench {
       f""""mp_sps_lo":${mLo.subseq / mLo.mpSec}%.0f,""" +
       f""""mp_sps_hi":${mHi.subseq / mHi.mpSec}%.0f,""" +
       f""""efficiency_rollup":$effRollup%.3f,"efficiency_mp":$effMp%.3f,""" +
+      f""""generic_sec_lo":$gLo%.3f,"generic_sec_hi":$gHi%.3f,""" +
+      f""""efficiency_generic":$effGeneric%.3f,""" +
       f""""cleanest_round":$cleanRd,"cleanest_round_load":$cLoad%.2f,""" +
       f""""cleanest_round_contention":$cCont%.3f,""" +
       f""""efficiency_rollup_cleanpair":$effRollupPair%.3f,""" +

@@ -71,21 +71,24 @@ object StorageScalingBench {
   }
 
   final case class Trial(cpus: Int, round: Int, load: Double, steal: Double,
-      ext: Double, sec: Double, rolled: Long)
+      ext: Double, sec: Double, rolled: Long, chunksSec: Double, chunks: Long)
 
   private def trialJson(t: Trial): String =
     f"""{"cpus":${t.cpus},"round":${t.round},"load":${t.load}%.2f,""" +
       f""""steal_pct":${t.steal}%.4f,"ext_pct":${t.ext}%.4f,""" +
-      f""""rollup_sec":${t.sec}%.3f,"rolled":${t.rolled}}"""
+      f""""rollup_sec":${t.sec}%.3f,"rolled":${t.rolled},""" +
+      f""""chunks_sec":${t.chunksSec}%.3f,"chunks":${t.chunks}}"""
 
   private def parseTrial(line: String): Option[Trial] = {
     def f(k: String): Option[String] =
-      ("\"" + k + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(line).map(_.group(1))
+      ("\"" + k + "\":(-?[0-9.eE+NaN]+)").r.findFirstMatchIn(line).map(_.group(1))
     try for {
       c <- f("cpus"); r <- f("round"); l <- f("load"); s <- f("steal_pct")
       e <- f("ext_pct"); sec <- f("rollup_sec"); ro <- f("rolled")
     } yield Trial(c.toInt, r.toInt, l.toDouble, s.toDouble, e.toDouble,
-      sec.toDouble, ro.toLong)
+      sec.toDouble, ro.toLong,
+      f("chunks_sec").map(_.toDouble).getOrElse(Double.NaN),
+      f("chunks").map(_.toLong).getOrElse(0L))
     catch { case _: Throwable => None }
   }
 
@@ -134,8 +137,12 @@ object StorageScalingBench {
       // best-of-reps inside the trial: each rep is an independent pure
       // scan job, so a rep perturbed by a host blip doesn't sink the trial
       var bestSec = Double.MaxValue
+      var bestChunksSec = Double.MaxValue
       var rolled = 0L
+      var nChunks = 0L
       var worstLoad = 0.0; var worstSteal = -1.0; var worstExt = -1.0
+      val withChunks = sys.env.getOrElse("SPARK_GRAFT_STORAGE_LEGS", "rollup")
+        .split(",").contains("chunks")
       for (_ <- 1 to reps) {
         val ld = graft.Bench.load1()
         val (s0, b0, t0j) = graft.Bench.cpuJiffies()
@@ -143,6 +150,14 @@ object StorageScalingBench {
         val t0 = System.nanoTime()
         rolled = graft.rollup.Rollup.rollupAllColocated(pts).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        // production write path: Gorilla XOR + delta-of-delta chunk encode
+        // of the scanned points — the CPU-dense leg of the ingest pipeline
+        // (north star: "compressed into per-partition chunk structs")
+        val chunksSec = if (!withChunks) Double.NaN else {
+          val t1 = System.nanoTime()
+          nChunks = graft.compress.Chunks.encode(pts).count()
+          (System.nanoTime() - t1) / 1e9
+        }
         val (s1, b1, t1j) = graft.Bench.cpuJiffies()
         val self1 = graft.Bench.selfJiffies()
         val bad = s0 < 0 || s1 < 0 || t1j <= t0j
@@ -150,16 +165,18 @@ object StorageScalingBench {
         val ext = if (bad || self0 < 0 || self1 < 0) -1.0
           else math.max(0.0, ((b1 - b0) - (self1 - self0)).toDouble / (t1j - t0j))
         bestSec = math.min(bestSec, sec)
+        if (!chunksSec.isNaN) bestChunksSec = math.min(bestChunksSec, chunksSec)
         worstLoad = math.max(worstLoad, ld)
         worstSteal = math.max(worstSteal, steal)
         worstExt = math.max(worstExt, ext)
       }
-      val t = Trial(cpus, round, worstLoad, worstSteal, worstExt, bestSec, rolled)
+      val t = Trial(cpus, round, worstLoad, worstSteal, worstExt, bestSec,
+        rolled, if (withChunks) bestChunksSec else Double.NaN, nChunks)
       trials += t
       checkpoint(t)
       System.err.println(f"[storage-scaling] round=$round cpus=$cpus " +
         f"load=$worstLoad%.1f steal=$worstSteal%.3f ext=$worstExt%.3f " +
-        f"rollup=$bestSec%.2fs rolled=$rolled")
+        f"rollup=$bestSec%.2fs rolled=$rolled chunks=$bestChunksSec%.2fs")
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -167,11 +184,20 @@ object StorageScalingBench {
 
     require(trials.map(_.rolled).distinct.size == 1,
       s"parallelism-variant output: ${trials.map(_.rolled).distinct}")
+    require(trials.filter(_.chunks > 0).map(_.chunks).distinct.size <= 1,
+      s"parallelism-variant chunk count: ${trials.map(_.chunks).distinct}")
 
     def best(cpus: Int): Trial = trials.filter(_.cpus == cpus).minBy(_.sec)
     val bLo = best(lo); val bHi = best(hi)
     val factor = hi.toDouble / lo
     val eff = (bLo.sec / bHi.sec) / factor
+    // chunks-leg best-of (NaN-safe: trials without the leg never win)
+    def bestChunks(cpus: Int): Double = {
+      val xs = trials.filter(t => t.cpus == cpus && !t.chunksSec.isNaN)
+      if (xs.isEmpty) Double.NaN else xs.map(_.chunksSec).min
+    }
+    val cLoSec = bestChunks(lo); val cHiSec = bestChunks(hi)
+    val effChunks = (cLoSec / cHiSec) / factor
     // cleanest interleaved pair by worst contention (steal/ext), round 1
     // included: there is no cache to warm, JIT warms within the reps
     val pairs = trials.groupBy(_.round).collect {
@@ -193,6 +219,9 @@ object StorageScalingBench {
       f""""rollup_sec_lo":${bLo.sec}%.3f,"rollup_sec_hi":${bHi.sec}%.3f,""" +
       f""""pps_lo":${nPoints / bLo.sec}%.0f,"pps_hi":${nPoints / bHi.sec}%.0f,""" +
       f""""efficiency_rollup":$eff%.3f,""" +
+      f""""chunks_sec_lo":$cLoSec%.3f,"chunks_sec_hi":$cHiSec%.3f,""" +
+      f""""chunks_pps_lo":${nPoints / cLoSec}%.0f,"chunks_pps_hi":${nPoints / cHiSec}%.0f,""" +
+      f""""efficiency_chunks":$effChunks%.3f,""" +
       f""""cleanest_round":$cleanRd,"cleanest_round_load":$cLoad%.2f,""" +
       f""""cleanest_round_contention":$cCont%.4f,""" +
       f""""efficiency_rollup_cleanpair":$effPair%.3f,""" +
