@@ -118,6 +118,26 @@ object SparkEntry {
           round($"min", 6).as("min_v"), round($"max", 6).as("max_v"))
     }),
 
+    // incremental continuous-aggregate maintenance: the last 2 days of
+    // events arrive as a DELTA merged into the pre-existing 1m tier via
+    // Rollup.maintainTier (base never shuffles — untouched buckets pass
+    // through a broadcast anti-join; only delta-touched buckets
+    // re-aggregate). The oracle is the full batch recompute: equality
+    // proves the incremental path exact, boundary bucket included.
+    "q40_incremental_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val pts = events(s, dir).select($"user_id".cast("string").as("conv_id"),
+        lit("v").as("kind"), unix_micros($"ts".cast("timestamp")).as("bucket"),
+        $"value").as[SeriesPoint]
+      val cut = pts.agg(max($"bucket")).as[Long].first() - 2 * Rollup.TierStep("1d")
+      val baseTier = Rollup.rollupRaw(pts.where($"bucket" < cut), "1m")
+      Rollup.maintainTier(baseTier, pts.where($"bucket" >= cut), "1m")
+        .select($"conv_id".cast("long").as("user_id"),
+          ($"bucket" / 1000000L).cast("long").as("minute_ts"),
+          $"cnt", round($"sum", 4).as("sum_v"),
+          round($"min", 6).as("min_v"), round($"max", 6).as("max_v"))
+    }),
+
     "q04_rate_gapfill" -> ((s, dir) => {
       import s.implicits._
       val pts = events(s, dir).select($"user_id".cast("string").as("conv_id"),
@@ -370,6 +390,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_rollup_1m" ->
       """SELECT event_type, epoch(date_trunc('minute', ts))::BIGINT AS minute_ts,
+         count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_v,
+         round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+         FROM events GROUP BY 1, 2""",
+
+    // the incremental path must equal the full batch recompute, so the
+    // oracle IS the batch recompute — per-user 1m tier over all events
+    "q40_incremental_rollup" ->
+      """SELECT user_id, epoch(date_trunc('minute', ts))::BIGINT AS minute_ts,
          count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_v,
          round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
          FROM events GROUP BY 1, 2""",

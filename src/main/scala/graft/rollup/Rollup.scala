@@ -212,6 +212,56 @@ object Rollup {
       .as[TierAgg]
   }
 
+  /** Incremental continuous-aggregate maintenance: merge a DELTA of
+    * newly-arrived raw points into an existing tier table WITHOUT
+    * recomputing untouched buckets — the operation a 100 TB deployment
+    * runs on every ingest batch instead of rescanning history.
+    *
+    * Contract: append-only per bucket — every delta point in a
+    * (conv, kind, bucket) group arrives at a raw time ≥ every base point
+    * already aggregated into that group (the shape of time-ordered
+    * ingest; late data is the streaming tier's watermark problem, not
+    * this operator's). Under it the merge is exact: cnt/sum add,
+    * min/max combine, `first` keeps the base's value when the bucket
+    * existed, `last` takes the delta's.
+    *
+    * Scale shape (the point of the operator): the base NEVER shuffles.
+    * The delta's touched keys are broadcast; untouched base rows pass
+    * through an anti-join unchanged (at 100 TB: their Iceberg data files
+    * are simply not rewritten), and only the affected slice — bounded by
+    * the delta's key count, not the base's size — enters the merge
+    * aggregation.
+    */
+  def maintainTier(base: Dataset[TierAgg], delta: Dataset[SeriesPoint],
+      tier: String, saltBuckets: Int = 1): Dataset[TierAgg] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val deltaAgg = rollupRaw(delta, tier, saltBuckets)
+    val keys = Seq("conv_id", "kind", "bucket")
+    val touched = broadcast(deltaAgg.select($"conv_id", $"kind", $"bucket").distinct())
+    val untouched = base.join(touched, keys, "left_anti").as[TierAgg]
+    val affected = base.join(touched, keys, "left_semi").as[TierAgg]
+    // src orders first/last across the two sides: the append-only
+    // contract puts every base point before every delta point within a
+    // bucket, so `first` comes from the base row when one exists (src 0)
+    // and `last` from the delta row (src 1)
+    val merged = affected.toDF().withColumn("src", lit(0))
+      .unionByName(deltaAgg.toDF().withColumn("src", lit(1)))
+      .groupBy($"conv_id", $"kind", $"bucket")
+      .agg(
+        sum($"cnt").as("cnt"),
+        sum($"sum").as("sum"),
+        min($"min").as("min"),
+        max($"max").as("max"),
+        min_by($"first", $"src").as("first"),
+        max_by($"last", $"src").as("last"))
+      .withColumn("tier", lit(tier))
+      .select($"conv_id", $"kind", $"tier", $"bucket",
+        $"cnt", $"sum", $"min", $"max", $"first", $"last")
+      .as[TierAgg]
+    untouched.unionByName(merged)
+  }
+
   /** Zero-shuffle tier chaining for conv-bucketed tiers (see
     * rollupColocated): merge finer structs into coarser buckets
     * partition-locally.

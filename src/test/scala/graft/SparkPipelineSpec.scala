@@ -368,6 +368,44 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     salt1.zip(salt16).foreach { case (x, y) => assert(math.abs(x.sum - y.sum) < 1e-6) }
   }
 
+  test("incremental tier maintenance equals full recompute (boundary " +
+      "bucket, new buckets, empty delta)") {
+    import spark.implicits._
+    val transcripts = TranscriptGen.generate(spark, 10)
+    val raw = transcripts.select($"conv_id", lit("token_len_t").as("kind"),
+      unix_micros($"ts").as("bucket"), length($"text").cast("double").as("value"))
+      .as[SeriesPoint]
+    // cutoff mid-range and UNALIGNED to the 1m grid so the bucket
+    // containing it holds base AND delta points (the merge boundary case);
+    // later buckets are delta-only (the new-bucket case)
+    val (lo, hi) = raw.agg(min($"bucket"), max($"bucket"))
+      .as[(Long, Long)].first()
+    val cut = lo + (hi - lo) / 2 + 31L * 1000000L
+    val base = Rollup.rollupRaw(raw.where($"bucket" < cut), "1m")
+    val maintained = Rollup.maintainTier(base, raw.where($"bucket" >= cut), "1m")
+    val full = Rollup.rollupRaw(raw, "1m")
+    val cols = Seq("conv_id", "kind", "bucket", "cnt", "sum", "min", "max", "first", "last")
+    val a = maintained.orderBy("conv_id", "kind", "bucket").select(cols.map(col): _*).collect()
+    val b = full.orderBy("conv_id", "kind", "bucket").select(cols.map(col): _*).collect()
+    assert(a.length == b.length && a.length > 0)
+    // the delta must actually split a bucket and create new ones
+    val baseKeys = base.select($"conv_id", $"bucket").as[(String, Long)].collect().toSet
+    val fullKeys = full.select($"conv_id", $"bucket").as[(String, Long)].collect().toSet
+    assert((fullKeys -- baseKeys).nonEmpty, "delta created no new buckets")
+    a.zip(b).foreach { case (x, y) =>
+      for (i <- 0 until x.length)
+        (x.get(i), y.get(i)) match {
+          case (dx: Double, dy: Double) => assert(math.abs(dx - dy) < 1e-9, s"$x vs $y")
+          case (ox, oy) => assert(ox == oy, s"$x vs $y")
+        }
+    }
+    // empty delta: every base row passes through untouched, bit-identical
+    val emptyDelta = raw.where(lit(false))
+    val noop = Rollup.maintainTier(base, emptyDelta, "1m")
+      .orderBy("conv_id", "kind", "bucket").collect()
+    assert(noop.toSeq == base.orderBy("conv_id", "kind", "bucket").collect().toSeq)
+  }
+
   test("1m tier of c_sample turn-rate equals raw (one turn per ~minute)") {
     import spark.implicits._
     // c_const has exactly one turn per 30s -> 1m tier cnt=2 everywhere
