@@ -262,6 +262,53 @@ object Rollup {
     untouched.unionByName(merged)
   }
 
+  /** Chained incremental maintenance of ALL tiers for one ingest delta:
+    * the 1m tier absorbs the delta via [[maintainTier]]; each coarser
+    * tier then REFRESHES only the buckets the delta touched, recomputed
+    * from the (already-maintained) finer tier — replacement, not
+    * addition, because a touched coarse bucket's old row already
+    * contains the finer buckets that just changed. first/last at coarse
+    * tiers come from rollupTier's fbucket ordering, so only the 1m merge
+    * needs the append-only contract.
+    *
+    * Scale shape: no base tier ever shuffles. Every touched-key set
+    * derives from the DELTA (small → broadcast); each coarse recompute
+    * reads only the finer tier's affected slice — cost is bounded by
+    * delta keys × tier fan-in (≤60/≤24), independent of base size.
+    */
+  def maintainAllTiers(base1m: Dataset[TierAgg], base1h: Dataset[TierAgg],
+      base1d: Dataset[TierAgg], delta: Dataset[SeriesPoint],
+      saltBuckets: Int = 1):
+      (Dataset[TierAgg], Dataset[TierAgg], Dataset[TierAgg]) = {
+    val spark = base1m.sparkSession
+    import spark.implicits._
+    val m = maintainTier(base1m, delta, "1m", saltBuckets)
+
+    def refresh(baseCoarse: Dataset[TierAgg], finer: Dataset[TierAgg],
+        tier: String): Dataset[TierAgg] = {
+      val step = TierStep(tier)
+      val touchedKeys = delta
+        .select($"conv_id", $"kind",
+          ($"bucket" - pmod($"bucket", lit(step))).as("bucket"))
+        .distinct()
+      val keys = Seq("conv_id", "kind", "bucket")
+      val untouched = baseCoarse
+        .join(broadcast(touchedKeys), keys, "left_anti").as[TierAgg]
+      // affected slice of the finer tier: its rows whose COARSE bucket is
+      // touched (join on the derived coarse key, finer bucket preserved)
+      val affectedFiner = finer
+        .withColumn("cb", $"bucket" - pmod($"bucket", lit(step)))
+        .join(broadcast(touchedKeys.toDF("conv_id", "kind", "cb")),
+          Seq("conv_id", "kind", "cb"), "left_semi")
+        .drop("cb").as[TierAgg]
+      untouched.unionByName(rollupTier(affectedFiner, tier))
+    }
+
+    val h = refresh(base1h, m, "1h")
+    val d = refresh(base1d, h, "1d")
+    (m, h, d)
+  }
+
   /** Zero-shuffle tier chaining for conv-bucketed tiers (see
     * rollupColocated): merge finer structs into coarser buckets
     * partition-locally.

@@ -406,6 +406,84 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noop.toSeq == base.orderBy("conv_id", "kind", "bucket").collect().toSeq)
   }
 
+  test("chained incremental maintenance refreshes 1h/1d from the " +
+      "maintained finer tier and equals full recompute") {
+    import spark.implicits._
+    val transcripts = TranscriptGen.generate(spark, 10)
+    val raw = transcripts.select($"conv_id", lit("token_len_t").as("kind"),
+      unix_micros($"ts").as("bucket"), length($"text").cast("double").as("value"))
+      .as[SeriesPoint]
+    val (lo, hi) = raw.agg(min($"bucket"), max($"bucket"))
+      .as[(Long, Long)].first()
+    val cut = lo + (hi - lo) / 2 + 31L * 1000000L
+    val basePts = raw.where($"bucket" < cut)
+    val base1m = Rollup.rollupRaw(basePts, "1m")
+    val base1h = Rollup.rollupTier(base1m, "1h")
+    val base1d = Rollup.rollupTier(base1h, "1d")
+    val (m, h, d) = Rollup.maintainAllTiers(base1m, base1h, base1d,
+      raw.where($"bucket" >= cut))
+    val full1m = Rollup.rollupRaw(raw, "1m")
+    val full1h = Rollup.rollupTier(full1m, "1h")
+    val full1d = Rollup.rollupTier(full1h, "1d")
+    val cols = Seq("conv_id", "kind", "bucket", "cnt", "sum", "min", "max", "first", "last")
+    for ((got, want, t) <- Seq((m, full1m, "1m"), (h, full1h, "1h"), (d, full1d, "1d"))) {
+      val a = got.orderBy("conv_id", "kind", "bucket").select(cols.map(col): _*).collect()
+      val b = want.orderBy("conv_id", "kind", "bucket").select(cols.map(col): _*).collect()
+      assert(a.length == b.length && a.length > 0, s"tier $t row count")
+      a.zip(b).foreach { case (x, y) =>
+        for (i <- 0 until x.length)
+          (x.get(i), y.get(i)) match {
+            case (dx: Double, dy: Double) =>
+              assert(math.abs(dx - dy) < 1e-9, s"tier $t: $x vs $y")
+            case (ox, oy) => assert(ox == oy, s"tier $t: $x vs $y")
+          }
+      }
+    }
+    // the refresh must NOT have rewritten untouched coarse buckets: rows
+    // of the maintained 1d tier outside the delta's touched day-keys are
+    // bit-identical objects to the base rows (pass-through anti-join)
+    val step = Rollup.TierStep("1d")
+    val touchedDays = raw.where($"bucket" >= cut)
+      .select($"conv_id", $"kind",
+        ($"bucket" - pmod($"bucket", lit(step))).as("bucket")).distinct()
+      .as[(String, String, Long)].collect().toSet
+    val passthrough = d.collect()
+      .filterNot(r => touchedDays.contains((r.conv_id, r.kind, r.bucket)))
+    val baseRows = base1d.collect()
+      .map(r => (r.conv_id, r.kind, r.bucket) -> r).toMap
+    assert(passthrough.nonEmpty)
+    passthrough.foreach(r =>
+      assert(baseRows((r.conv_id, r.kind, r.bucket)) == r))
+
+    // the scale contract in the PLAN, not just the rows: with the base
+    // tier read from STORAGE (the production shape — at 100 TB it is an
+    // Iceberg table, not a lineage), the base contributes two pure scans
+    // (anti + semi branch) and ZERO exchanges; every exchange in the
+    // plan belongs to the DELTA side (its 1m aggregation + touched-key
+    // distinct, each referenced twice, + the bounded affected-bucket
+    // merge ⇒ ≤ 6), and both base joins are broadcasts.
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_maintain_digest").toString
+    base1m.write.mode("overwrite").parquet(baseDir)
+    val baseStored = spark.read.parquet(baseDir).as[TierAgg]
+    val dig1 = graft.run.PlanDigest.of(
+      Rollup.maintainTier(baseStored, raw.where($"bucket" >= cut), "1m").toDF())
+    assert(dig1.broadcasts >= 2, s"maintainTier digest: $dig1")
+    assert(dig1.exchanges <= 6, s"maintainTier digest: $dig1")
+    assert(dig1.scans >= 2, s"maintainTier digest: $dig1")
+    // and the maintained rows off the stored base still equal recompute
+    val viaStored = Rollup.maintainTier(baseStored, raw.where($"bucket" >= cut), "1m")
+      .orderBy("conv_id", "kind", "bucket").select(cols.map(col): _*).collect()
+    val wantRows = full1m
+      .orderBy("conv_id", "kind", "bucket").select(cols.map(col): _*).collect()
+    assert(viaStored.length == wantRows.length)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(baseDir))
+  }
+
   test("1m tier of c_sample turn-rate equals raw (one turn per ~minute)") {
     import spark.implicits._
     // c_const has exactly one turn per 30s -> 1m tier cnt=2 everywhere
