@@ -138,6 +138,22 @@ object SparkEntry {
           round($"min", 6).as("min_v"), round($"max", 6).as("max_v"))
     }),
 
+    // per-bucket order statistics: exact interpolated median/p95 per
+    // (user, minute) — the tier-aggregate family TierAgg's running
+    // struct can't carry (quantiles don't merge); exact `percentile`
+    // here so DuckDB's quantile_cont (same linear-interpolation
+    // definition) can oracle it. At 100 TB the same query swaps in
+    // percentile_approx's mergeable sketch; the exact form is the gate.
+    "q41_bucket_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"user_id",
+          unix_timestamp(date_trunc("minute", $"ts".cast("timestamp"))).as("minute_ts"))
+        .agg(count(lit(1)).as("cnt"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))
+    }),
+
     "q04_rate_gapfill" -> ((s, dir) => {
       import s.implicits._
       val pts = events(s, dir).select($"user_id".cast("string").as("conv_id"),
@@ -400,6 +416,15 @@ object SparkEntry {
       """SELECT user_id, epoch(date_trunc('minute', ts))::BIGINT AS minute_ts,
          count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_v,
          round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+         FROM events GROUP BY 1, 2""",
+
+    // quantile_cont == Hive/Spark `percentile`: both linearly interpolate
+    // at rank p*(n-1) over the sorted group
+    "q41_bucket_quantiles" ->
+      """SELECT user_id, epoch(date_trunc('minute', ts))::BIGINT AS minute_ts,
+         count(*)::BIGINT AS cnt,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.95), 6) AS p95
          FROM events GROUP BY 1, 2""",
 
     "q02_rollup_1h_chain" ->
