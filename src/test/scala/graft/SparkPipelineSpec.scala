@@ -484,6 +484,32 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     rm(new java.io.File(baseDir))
   }
 
+  test("approx-percentile sketch (the 100 TB quantile path behind q41) " +
+      "stays inside its rank-error bound under any partitioning") {
+    import spark.implicits._
+    val raw = TranscriptGen.generate(spark, 10)
+      .select($"conv_id", length($"text").cast("double").as("value"))
+    val n = raw.count()
+    assert(n > 1000, s"need a group large enough to exercise the sketch, got $n")
+    // accuracy=100 → rank error ≤ n/100; the exact values at the bounding
+    // ranks bracket any correct sketch answer
+    def exactAt(rank: Long): Double = raw.orderBy($"value")
+      .limit((rank + 1).toInt).orderBy($"value".desc).limit(1)
+      .as[(String, Double)].first()._2
+    for (p <- Seq(0.5, 0.95)) {
+      val target = (p * (n - 1)).toLong
+      val eps = n / 100 + 1
+      val loB = exactAt(math.max(0L, target - eps))
+      val hiB = exactAt(math.min(n - 1, target + eps))
+      for (parts <- Seq(1, 4, 13)) {
+        val approx = raw.repartition(parts)
+          .agg(expr(s"percentile_approx(value, $p, 100)")).as[Double].first()
+        assert(approx >= loB && approx <= hiB,
+          s"p=$p parts=$parts: $approx outside [$loB, $hiB]")
+      }
+    }
+  }
+
   test("1m tier of c_sample turn-rate equals raw (one turn per ~minute)") {
     import spark.implicits._
     // c_const has exactly one turn per 30s -> 1m tier cnt=2 everywhere
