@@ -33,6 +33,17 @@ object Chunks {
       }
   }
 
+  /** Compaction: re-chunk a fragmented chunk set (the small-file problem
+    * a long-running ingest accumulates — each micro-batch appends its own
+    * short chunks per conversation) back to full `maxPoints` chunks.
+    * Lossless by construction: decode → re-encode through the same
+    * codec, one shuffle on (conv, kind), deterministic chunk boundaries
+    * from the sorted bucket order. At 100 TB this runs per Iceberg
+    * partition as the retention tier's maintenance compaction.
+    */
+  def compact(chunks: Dataset[SeriesChunk], maxPoints: Int = 65536): Dataset[SeriesChunk] =
+    encode(decode(chunks), maxPoints)
+
   def decode(chunks: Dataset[SeriesChunk]): Dataset[SeriesPoint] = {
     val spark = chunks.sparkSession
     import spark.implicits._

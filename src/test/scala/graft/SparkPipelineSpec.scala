@@ -591,6 +591,35 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("chunk compaction merges fragmented micro-batch chunks losslessly") {
+    import spark.implicits._
+    val transcripts = TranscriptGen.generate(spark, 5)
+    val pts = Derive.tokenLen(transcripts)
+    // fragment hard (a micro-batch ingest shape), then compact back
+    val fragmented = Chunks.encode(pts, maxPoints = 16)
+    val compacted = Chunks.compact(fragmented, maxPoints = 4096)
+    val nFrag = fragmented.count()
+    val nComp = compacted.count()
+    assert(nComp < nFrag / 10, s"compaction too weak: $nFrag -> $nComp")
+    // content identical to the points and to a direct full-size encode
+    val a = pts.orderBy("conv_id", "bucket").collect().toSeq
+    val b = Chunks.decode(compacted).orderBy("conv_id", "bucket").collect().toSeq
+    assert(a == b)
+    // deterministic boundaries: compacting the fragments equals encoding
+    // the raw points at the same chunk size, byte-for-byte
+    val direct = Chunks.encode(pts, maxPoints = 4096)
+      .orderBy("conv_id", "kind", "chunkIdx").collect()
+    val viaCompact = compacted.orderBy("conv_id", "kind", "chunkIdx").collect()
+    assert(direct.length == viaCompact.length)
+    direct.zip(viaCompact).foreach { case (x, y) =>
+      assert(x.conv_id == y.conv_id && x.kind == y.kind &&
+        x.chunkIdx == y.chunkIdx && x.startBucket == y.startBucket &&
+        x.count == y.count &&
+        java.util.Arrays.equals(x.tsBytes, y.tsBytes) &&
+        java.util.Arrays.equals(x.valBytes, y.valBytes))
+    }
+  }
+
   test("profile IO round-trips through JSON and Parquet (ref io/__io.py)") {
     import spark.implicits._
     val rows = DistributedMp.mpxProfiles(
