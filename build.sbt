@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default heap sized for the local[32] bench box (128 GiB): 8g gave the
+  // unified memory pool ~4.6 GiB shared by 32 concurrent tasks, and the
+  // r7 batteries showed storage-pool eviction + GC storms as multi-second
+  // per-query outliers under that pressure. 24g keeps compressed oops and
+  // leaves >100 GiB for the OS page cache; override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -69,7 +69,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q26_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Declared queries, each applying the session's scale-adaptive
+    * execution settings (AQE advisory-size coalescing — see
+    * [[graft.util.SessionTuning]]) before building its plan.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => {
+        graft.util.SessionTuning.ensure(s)
+        fn(s, dir)
+      })
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- rollup / tier aggregates (north-rule core) ----
     "q01_rollup_1m" -> ((s, dir) => {
       import s.implicits._
@@ -367,16 +379,26 @@ object SparkEntry {
     // against a measured 0.99990 max for honest non-duplicate pairs.
     "q39_media_dedup" -> ((s, dir) => {
       import s.implicits._
-      val media = Multimodal.syntheticMedia(documents(s, dir))
+      // persist the encoded media ONCE: `planted` re-reads it, and without
+      // the cache both union branches re-run the per-row PNG/WAV encode
+      // (the whole corpus, twice — measured as the dominant q39 stage)
+      val media = graft.util.StageCache.persist(
+        Multimodal.syntheticMedia(documents(s, dir)))
       val planted = media
         .filter(m => m.meta.kind != "video" && m.media_id < 24)
         .map(m => Multimodal.MediaRow(m.media_id + 1000000L, m.meta, m.payload))
       val vecs = graft.util.StageCache.persist(
         Multimodal.dedupVectors(media.union(planted)))
+      // maxBucket = 0 (explicit uncapped opt-out): the q39 oracle joins
+      // ALL bucket matches uncapped, and media LSH buckets are heavily
+      // skewed by design (near-parallel vectors) — a capped Spark side
+      // would silently lose candidate pairs the oracle keeps beyond ~1000
+      // media per kind. Uncapping also drops the bucket-size aggregation
+      // and anti-join the cap costs.
       def kindDups(kind: String) = Dedup.embeddingDups(
         vecs.where($"kind" === kind)
           .select($"media_id".as("vec_id"), $"vec".as("embedding")),
-        threshold = 0.99995)
+        threshold = 0.99995, maxBucket = 0)
         .select(lit(kind).as("kind"), $"id_a", $"id_b", $"cosine_e4")
       kindDups("image").union(kindDups("audio"))
     }),

@@ -33,6 +33,44 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode: under
+  // 32 concurrent decode tasks the per-op cost measured 4x the
+  // single-threaded cost (file create/delete + shared-registry churn).
+  // Memory-backed streams remove that; our payloads are tiny (<64 KB).
+  ImageIO.setUseCache(false)
+
+  /** The JDK's audio file readers, resolved ONCE. `AudioSystem
+    * .getAudioInputStream` re-runs a SYNCHRONIZED service-provider scan on
+    * every call (`JDK13Services.getProviders`) — thread-stack sampling of
+    * the q39 decode stage showed 28 of 32 task threads parked inside it,
+    * serializing the whole stage. Going through the same SPI
+    * (`AudioFileReader`, the class `AudioSystem` itself dispatches to)
+    * keeps the decode on the real JDK audio stack while paying the
+    * provider scan once per JVM instead of once per row.
+    */
+  private lazy val audioFileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toList
+  }
+
+  /** AudioSystem.getAudioInputStream semantics (first reader that accepts
+    * the stream wins) without its per-call synchronized provider scan.
+    */
+  private def audioStream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = audioFileReaders.iterator
+    while (it.hasNext) {
+      val in = new ByteArrayInputStream(bytes)
+      try return it.next().getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    // no cached reader accepted (unexpected for our WAV payloads): fall
+    // back to the stock path and its error reporting
+    javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+  }
+
   final case class MediaMeta(kind: String, width: Int, height: Int, sampleRateHz: Int)
   final case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
   final case class MediaFeatures(media_id: Long, kind: String, dim: Int,
@@ -164,8 +202,7 @@ object Multimodal {
     * PCM is lossless). Throws on undecodable payloads.
     */
   def decodeAudio(mediaId: Long, payload: Array[Byte]): AudioStats = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(payload))
+    val in = audioStream(payload)
     try {
       val fmt = in.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
@@ -211,7 +248,23 @@ object Multimodal {
   def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select($"doc_id", $"text").as[(Long, String)].map { case (id, text) =>
+    // The per-row PNG/WAV encode below (and every decode consuming this
+    // dataset) is CPU-heavy, but a small documents table arrives as ONE
+    // scan split — without a spread the whole media pipeline serializes
+    // onto a single core. Hash-repartition by doc_id (deterministic under
+    // task retry, unlike round-robin) only when the scan is under-parallel;
+    // a large corpus already has enough splits and skips the shuffle.
+    // Spread width 8, not defaultParallelism: the codecs cost ~0.1 ms/row
+    // (MediaMicro), so 8-way covers the compute, while the repartition's
+    // partitioning propagates through caches to EVERY downstream stage of
+    // the media queries — at tiny scale each extra partition is a
+    // near-empty task paying fixed launch/deserialization cost.
+    val base = docs.select($"doc_id", $"text")
+    val want = math.min(8, spark.sparkContext.defaultParallelism)
+    val spread =
+      if (base.rdd.getNumPartitions * 2 < want) base.repartition(want, $"doc_id")
+      else base
+    spread.as[(Long, String)].map { case (id, text) =>
       if (id % 3 == 0) {
         val (w, h) = imageDims(id)
         MediaRow(id, MediaMeta("image", w, h, 0), encodePng(id))
@@ -333,8 +386,7 @@ object Multimodal {
     * sides so the doubles match bit-for-bit).
     */
   def audioDedupVec(mediaId: Long, payload: Array[Byte]): Array[Double] = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(payload))
+    val in = audioStream(payload)
     try {
       val fmt = in.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,

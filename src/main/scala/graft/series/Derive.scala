@@ -85,30 +85,50 @@ object Derive {
     val spark = points.sparkSession
     import spark.implicits._
 
-    val bounds0 = points
-      .groupBy($"conv_id", $"kind")
-      .agg(min($"bucket").as("lo"), max($"bucket").as("hi"))
-    // any bound whose span in micros would overflow Long is effectively
-    // unbounded — skip the clamp entirely rather than wrap
-    val bounds =
-      if (maxSteps >= Long.MaxValue / math.max(stepMicros, 1L)) bounds0
-      else bounds0.select($"conv_id", $"kind",
-        greatest($"lo", $"hi" - lit(stepMicros) * (lit(maxSteps) - 1)).as("lo"),
-        $"hi")
-    val grid = bounds.select($"conv_id", $"kind",
-      explode(sequence($"lo", $"hi", lit(stepMicros))).as("bucket"))
+    def clampLo(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
+      // any bound whose span in micros would overflow Long is effectively
+      // unbounded — skip the clamp entirely rather than wrap
+      if (maxSteps >= Long.MaxValue / math.max(stepMicros, 1L)) lo
+      else greatest(lo, hi - lit(stepMicros) * (lit(maxSteps) - 1))
 
-    val joined = grid.join(points, Seq("conv_id", "kind", "bucket"), "left")
-
-    val filled = fillValue match {
-      case Some(v) => joined.withColumn("value", coalesce($"value", lit(v)))
+    fillValue match {
+      case Some(v) =>
+        // Constant fill densifies with ONE aggregation: collect each
+        // series into a bucket→value map alongside its bounds, then
+        // explode the grid and fill by map lookup. The former shape
+        // (bounds agg → sequence/explode → left join back on the full
+        // input) consumed `points` twice and paid a 3-key hash join the
+        // lookup replaces outright — one exchange and one pass fewer.
+        // Same on-grid semantics as the join: an off-grid input bucket
+        // (not lo + k·step) never matches a grid row. Input buckets must
+        // be unique per (conv_id, kind) — a SeriesPoint series invariant
+        // the old join silently violated by duplicating grid rows;
+        // map_from_entries now fails loudly on duplicates instead.
+        points
+          .groupBy($"conv_id", $"kind")
+          .agg(map_from_entries(collect_list(struct($"bucket", $"value"))).as("m"),
+            min($"bucket").as("lo"), max($"bucket").as("hi"))
+          .select($"conv_id", $"kind", $"m",
+            explode(sequence(clampLo($"lo", $"hi"), $"hi", lit(stepMicros))).as("bucket"))
+          .select($"conv_id", $"kind", $"bucket",
+            coalesce(element_at($"m", $"bucket"), lit(v)).as("value"))
+          .as[SeriesPoint]
       case None =>
+        // Forward fill keeps the join shape: the fill needs the previous
+        // non-null in grid order, which the window below supplies.
+        val bounds = points
+          .groupBy($"conv_id", $"kind")
+          .agg(min($"bucket").as("lo"), max($"bucket").as("hi"))
+          .select($"conv_id", $"kind", clampLo($"lo", $"hi").as("lo"), $"hi")
+        val grid = bounds.select($"conv_id", $"kind",
+          explode(sequence($"lo", $"hi", lit(stepMicros))).as("bucket"))
+        val joined = grid.join(points, Seq("conv_id", "kind", "bucket"), "left")
         val ffill = Window.partitionBy($"conv_id", $"kind").orderBy($"bucket")
           .rowsBetween(Window.unboundedPreceding, 0)
         joined.withColumn("value",
           coalesce($"value", last($"value", ignoreNulls = true).over(ffill)))
+          .select($"conv_id", $"kind", $"bucket", $"value").as[SeriesPoint]
     }
-    filled.select($"conv_id", $"kind", $"bucket", $"value").as[SeriesPoint]
   }
 
   /** Zero-shuffle assemble for conv-bucketed input (all rows of a

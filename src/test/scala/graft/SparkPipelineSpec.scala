@@ -258,9 +258,15 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE IF EXISTS points_bucketed")
   }
 
-  test("dedup builders are one-action: construction runs zero jobs and the " +
-      "bucket-cap accumulator fills in on the query's own action") {
+  test("dedup builders are one-action by default: construction runs zero " +
+      "jobs (lazy persists) and the bucket-cap accumulator fills in on the " +
+      "query's own action") {
     import spark.implicits._
+    // Under the default lazy StageCache (SPARK_GRAFT_EAGER_PERSIST unset)
+    // building a dedup plan must not run any Spark job; the opt-in eager
+    // mode trades extra build-time jobs for race-free materialization and
+    // is exercised by the StageCache-level specs.
+    assume(!sys.env.get("SPARK_GRAFT_EAGER_PERSIST").contains("1"))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
