@@ -307,7 +307,7 @@ object SparkEntry {
       val q = e.where($"vec_id" < 20)
       val brute = Similarity.bruteForceTopK(e, q, 10)
         .select($"query_id", $"neighbor_id")
-      val approx = Similarity.lshTopK(e, q, 10)
+      val approx = Similarity.lshTopK(e, q, 10, dim0 = dim)
         .select($"query_id".as("aq"), $"neighbor_id".as("an"))
       brute.join(approx, brute("query_id") === $"aq" && brute("neighbor_id") === $"an",
           "left")
@@ -354,7 +354,7 @@ object SparkEntry {
           transform($"embedding",
             (x, i) => when(i === pmod($"vec_id", lit(64)).cast("int"), x + lit(0.25f))
               .otherwise(x)).as("embedding"))
-      Dedup.embeddingDups(base.union(planted), threshold = 0.9)
+      Dedup.embeddingDups(base.union(planted), threshold = 0.9, dim = dim)
     }),
 
     "q27_multimodal_features" -> ((s, dir) =>
@@ -395,10 +395,13 @@ object SparkEntry {
       // would silently lose candidate pairs the oracle keeps beyond ~1000
       // media per kind. Uncapping also drops the bucket-size aggregation
       // and anti-join the cap costs.
+      // dims are fixed by the decoders (image 8, audio 5): passing them
+      // skips one plan-time take(1) job per kind
       def kindDups(kind: String) = Dedup.embeddingDups(
         vecs.where($"kind" === kind)
           .select($"media_id".as("vec_id"), $"vec".as("embedding")),
-        threshold = 0.99995, maxBucket = 0)
+        threshold = 0.99995, maxBucket = 0,
+        dim = if (kind == "image") 8 else 5)
         .select(lit(kind).as("kind"), $"id_a", $"id_b", $"cosine_e4")
       kindDups("image").union(kindDups("audio"))
     }),

@@ -34,8 +34,9 @@ object DistributedMp {
 
   /** MPX self-join profiles for every series with length >= 2w. */
   def mpxProfiles(series: Dataset[SeriesRow], w: Int, tier: String,
-      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[MpProfileRow] =
-    skimpProfiles(series, Array(w), tier, splitThreshold, tileSize)
+      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14,
+      maxSeriesLen: Int = -1): Dataset[MpProfileRow] =
+    skimpProfiles(series, Array(w), tier, splitThreshold, tileSize, maxSeriesLen)
 
   /** A halo'd MPX tile task: the slice starts at global row `start` and
     * carries just the values the tile's diagonals touch (≤ 2·tileSize +
@@ -90,16 +91,27 @@ object DistributedMp {
     * expensive (a scan of a parquet/Iceberg table is fine; a derived
     * assembly is worth caching).
     */
+  /** `maxSeriesLen`: a caller-known upper bound on series length. When it
+    * proves every series takes the short path (bound < splitThreshold),
+    * the tile fan-out/merge machinery — a repartition exchange plus a
+    * merge aggregation that would process zero rows — is dropped from the
+    * plan outright, and the single-consumer input needs no fork guard.
+    */
   def skimpProfiles(seriesIn: Dataset[SeriesRow], windows: Array[Int], tier: String,
-      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[MpProfileRow] = {
+      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14,
+      maxSeriesLen: Int = -1): Dataset[MpProfileRow] = {
     val spark = seriesIn.sparkSession
     import spark.implicits._
-    val series = graft.util.StageCache.forked(seriesIn)
+    val shortOnly = maxSeriesLen > 0 && maxSeriesLen < splitThreshold
+    val series =
+      if (shortOnly) seriesIn // single consumer: no fork, no persist
+      else graft.util.StageCache.forked(seriesIn)
     val shortRows = series.flatMap { s =>
       val n = s.values.length
       windows.iterator.filter(w => n >= 2 * w && n < splitThreshold)
         .map(w => wholeProfileRow(s, w, tier))
     }
+    if (shortOnly) return shortRows
     val tiles = series.flatMap { s =>
       val n = s.values.length
       windows.iterator.filter(w => n >= 2 * w && n >= splitThreshold)
@@ -224,10 +236,15 @@ object DistributedMp {
     * similarity-join / as-of-join analog (ref cympx.pyx:125-284).
     */
   def mpxAbProfiles(pairsIn: Dataset[AbPair], w: Int,
-      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14): Dataset[AbJoinRow] = {
+      splitThreshold: Int = 1 << 15, tileSize: Int = 1 << 14,
+      maxSeriesLen: Int = -1): Dataset[AbJoinRow] = {
     val spark = pairsIn.sparkSession
     import spark.implicits._
-    val pairs = graft.util.StageCache.forked(pairsIn)
+    // caller-proven all-short input: drop the tile fan-out/merge subtree
+    // (an exchange + two aggregations over zero rows) and the fork guard
+    val shortOnly = maxSeriesLen > 0 && maxSeriesLen < splitThreshold
+    val pairs =
+      if (shortOnly) pairsIn else graft.util.StageCache.forked(pairsIn)
 
     // zero-exchange short path: both sweeps + finalize in the scan stage
     val shortRows = pairs.flatMap { p =>
@@ -249,6 +266,8 @@ object DistributedMp {
           Mpx.abToEuclidean(bufB, w), bufB.mpi))
       }
     }
+
+    if (shortOnly) return shortRows
 
     val tasks = pairs.flatMap { p =>
       val plenA = p.a.length - w + 1

@@ -336,15 +336,20 @@ object Dedup {
   def embeddingDups(embeds: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.9,
       planes: Int = 12, tables: Int = 4,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket, dim: Int = -1): DataFrame = {
     // vectors are consumed by key generation AND both verify sides: cache
-    // the projected scan once; the hyperplane-fold key stage is cached as
-    // an id+bkey projection so its (tables x planes x dim) folds run once
-    val vecs = graft.util.StageCache.persist(
+    // the projected scan once — via forked(), so an input that is itself
+    // already cached (q39 feeds per-kind slices of one cached vector
+    // table) is NOT persisted a second time; the hyperplane-fold key
+    // stage is cached as an id+bkey projection so its
+    // (tables x planes x dim) folds run once. Pass `dim` when the caller
+    // knows the vector width to skip the plan-time take(1) job.
+    val vecs = graft.util.StageCache.forked(
       embeds.select(col(idCol), col(vecCol)))
     val keys = capBuckets(
       graft.util.StageCache.persist(
-        Similarity.withBucketKeys(vecs, idCol, vecCol, planes, tables, seed = 7)
+        Similarity.withBucketKeys(vecs, idCol, vecCol, planes, tables,
+            seed = 7, dim0 = dim)
           .select($"bkey", col(idCol))),
       Seq("bkey"), maxBucket, "embeddingDups")
     val l = keys.select($"bkey", col(idCol).as("id_a"))

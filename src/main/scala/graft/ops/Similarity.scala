@@ -285,8 +285,9 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      planes: Int = 10, tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val dim = vecDim(corpus, vecCol)
+      planes: Int = 10, tables: Int = 4, seed: Long = 42L,
+      dim0: Int = -1): DataFrame = {
+    val dim = if (dim0 > 0) dim0 else vecDim(corpus, vecCol)
     val qb = broadcast(withBucketKeys(queries, idCol, vecCol, planes, tables, seed, dim)
       .select($"bkey", col(idCol).as("query_id"), col(vecCol).as("q_v")))
     val cb = withBucketKeys(corpus, idCol, vecCol, planes, tables, seed, dim)

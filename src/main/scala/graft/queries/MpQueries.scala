@@ -42,24 +42,32 @@ object MpQueries {
   def quantSeries(s: SparkSession, dir: String): Dataset[QSeries] = {
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // the assembly aggregation is DECLARATIVE (collect_list in an
+    // ObjectHashAggregate) and keyed exactly like the window, so it reuses
+    // the window's hash partitioning with NO second exchange — the former
+    // typed groupByKey/mapGroups re-shuffled every row through an opaque
+    // key extractor and paid object (de)serialization per row
     s.read.parquet(s"$dir/events.parquet")
       .select($"user_id", $"ts", $"event_id", $"value")
       .withColumn("idx", row_number().over(byUser) - 1)
       .where($"idx" < OracleSqlGen.Cap)
       .withColumn("vi", round($"value" * OracleSqlGen.Quant, 0).cast("long"))
-      .select($"user_id", $"idx", $"vi")
-      .as[(Long, Int, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (uid, it) =>
-        val arr = it.toArray.sortBy(_._2)
-        QSeries(uid, arr.map(_._3))
-      }
+      .groupBy($"user_id")
+      .agg(transform(sort_array(collect_list(struct($"idx", $"vi"))),
+        p => p.getField("vi")).as("vi"))
+      .as[QSeries]
   }
 
+  /** Declarative projection (no typed map): the result over a cached
+    * input stays a cheap re-scannable Project, so the distributed MP
+    * entry's fork guard does not need to persist it again.
+    */
   def toSeriesRows(qs: Dataset[QSeries]): Dataset[SeriesRow] = {
     val spark = qs.sparkSession
     import spark.implicits._
-    qs.map(q => SeriesRow(q.user_id.toString, "v", 0L, q.vi.map(_.toDouble)))
+    qs.select($"user_id".cast("string").as("conv_id"),
+      lit("v").as("kind"), lit(0L).as("startBucket"),
+      transform($"vi", x => x.cast("double")).as("values")).as[SeriesRow]
   }
 
   /** Smallest n for which EVERY profile position has an admissible pair
@@ -88,7 +96,8 @@ object MpQueries {
       val mi = Core.argmin(r.mp)
       (q.user_id, r.mp.length.toLong, mi.toLong, e4(r.mp(mi)), r.mp)
     }.toDF("user_id", "profile_len", "min_idx", "min_mp_e4", "bmp")
-    val kern = DistributedMp.mpxProfiles(toSeriesRows(qs), W, "raw")
+    val kern = DistributedMp.mpxProfiles(toSeriesRows(qs), W, "raw",
+        maxSeriesLen = OracleSqlGen.Cap)
       .map(p => (p.conv_id.toLong, p.mp)).toDF("kuid", "kmp")
     brute.join(kern, $"user_id" === $"kuid", "left")
       .select($"user_id", $"profile_len", $"min_idx", $"min_mp_e4",
@@ -123,7 +132,8 @@ object MpQueries {
         case ((a, b), i) => (q.user_id, (i + 1).toLong, a.toLong, b.toLong, r.mp)
       }
     }.toDF("user_id", "rank", "motif_a", "motif_b", "bmp")
-    val kern = DistributedMp.mpxProfiles(toSeriesRows(qs), W, "raw")
+    val kern = DistributedMp.mpxProfiles(toSeriesRows(qs), W, "raw",
+        maxSeriesLen = OracleSqlGen.Cap)
       .map(p => (p.conv_id.toLong, p.mp)).toDF("kuid", "kmp")
     brute.join(kern, $"user_id" === $"kuid", "left")
       .select($"user_id", $"rank", $"motif_a", $"motif_b",
@@ -214,7 +224,8 @@ object MpQueries {
         (q.user_id, w.toLong, e4(mp.min), mp)
       }
     }.toDF("user_id", "window", "min_mp_e4", "bmp")
-    val kern = DistributedMp.skimpProfiles(toSeriesRows(qs), windows, "raw")
+    val kern = DistributedMp.skimpProfiles(toSeriesRows(qs), windows, "raw",
+        maxSeriesLen = OracleSqlGen.Cap)
       .map(p => (p.conv_id.toLong, p.w.toLong, p.mp)).toDF("kuid", "kw", "kmp")
     brute.join(kern, $"user_id" === $"kuid" && $"window" === $"kw", "left")
       .select($"user_id", $"window", $"min_mp_e4",
@@ -339,7 +350,7 @@ object MpQueries {
       DistributedMp.AbPair(u.user_id.toString, q.user_id.toString,
         u.vi.map(_.toDouble), q.vi.map(_.toDouble))
     }
-    val kern = DistributedMp.mpxAbProfiles(abPairs, W).map { r =>
+    val kern = DistributedMp.mpxAbProfiles(abPairs, W, maxSeriesLen = OracleSqlGen.Cap).map { r =>
       var kmin = Double.PositiveInfinity
       var i = 0
       while (i < r.mpA.length) {

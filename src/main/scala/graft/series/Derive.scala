@@ -93,25 +93,57 @@ object Derive {
 
     fillValue match {
       case Some(v) =>
-        // Constant fill densifies with ONE aggregation: collect each
-        // series into a bucket→value map alongside its bounds, then
-        // explode the grid and fill by map lookup. The former shape
-        // (bounds agg → sequence/explode → left join back on the full
-        // input) consumed `points` twice and paid a 3-key hash join the
-        // lookup replaces outright — one exchange and one pass fewer.
-        // Same on-grid semantics as the join: an off-grid input bucket
-        // (not lo + k·step) never matches a grid row. Input buckets must
-        // be unique per (conv_id, kind) — a SeriesPoint series invariant
-        // the old join silently violated by duplicating grid rows;
-        // map_from_entries now fails loudly on duplicates instead.
+        // Constant fill densifies with ONE aggregation and SEGMENT
+        // generation: collect each series' sorted (bucket, value) entries
+        // with its bounds, keep the entries that sit ON the grid
+        // (bucket = lo + k·step — the only ones the former grid join
+        // could match), then per entry emit the fill run from its
+        // predecessor plus the entry itself (a sentinel past `hi` emits
+        // the tail run). Every output row costs O(1) — no join probe and
+        // no per-row map lookup (a Spark map literal is an ARRAY;
+        // element_at scans it linearly, which made the first r8 rewrite
+        // O(entries) per grid row) — and `points` is consumed once
+        // instead of twice (the pre-r8 bounds-agg + 3-key left join).
+        val step = lit(stepMicros)
         points
           .groupBy($"conv_id", $"kind")
-          .agg(map_from_entries(collect_list(struct($"bucket", $"value"))).as("m"),
-            min($"bucket").as("lo"), max($"bucket").as("hi"))
-          .select($"conv_id", $"kind", $"m",
-            explode(sequence(clampLo($"lo", $"hi"), $"hi", lit(stepMicros))).as("bucket"))
+          .agg(sort_array(collect_list(struct($"bucket", $"value"))).as("es"),
+            min($"bucket").as("lo0"), max($"bucket").as("hi"))
+          // the aggregate output is a handful of KB, so AQE coalesces it
+          // to one partition — but each row EXPANDS by span/step below.
+          // Spread the generation explicitly (explicit repartitions are
+          // never coalesced); the shuffle moves only the compact
+          // per-series rows, never the generated grid.
+          .repartition(spark.sparkContext.defaultParallelism,
+            $"conv_id", $"kind")
+          .withColumn("lo", clampLo($"lo0", $"hi"))
+          // last grid point (the grid is anchored at the clamped lo)
+          .withColumn("gridHi", $"hi" - pmod($"hi" - $"lo", step))
+          // on-grid entries only (bucket = lo + k·step — the only ones
+          // the former grid join could match); strictly increasing
+          // because series buckets are unique per (conv_id, kind)
+          .withColumn("oges", filter($"es", e =>
+            e.getField("bucket") >= $"lo" &&
+              pmod(e.getField("bucket") - $"lo", step) === 0))
+          .select($"conv_id", $"kind", $"lo", $"oges",
+            posexplode(concat($"oges",
+              // sentinel one step past the grid: its pair emits the tail
+              // fill run, and its own (null-value) point is filtered out
+              array(struct(($"gridHi" + step).as("bucket"),
+                lit(null).cast("double").as("value"))))))
+          .withColumn("prevB", when($"pos" === 0, $"lo" - step)
+            .otherwise(element_at($"oges", $"pos").getField("bucket")))
+          // one PRIMITIVE sequence per segment — fill run plus the entry
+          // endpoint — so the 10⁷-row explode stays on the long-array
+          // fast path (a struct-array transform here allocated one object
+          // per grid row and was 8x slower than the join it replaced)
+          .select($"conv_id", $"kind", $"col".getField("bucket").as("eb"),
+            $"col".getField("value").as("ev"),
+            explode(sequence($"prevB" + step, $"col".getField("bucket"), step))
+              .as("bucket"))
+          .where($"ev".isNotNull || $"bucket" =!= $"eb")
           .select($"conv_id", $"kind", $"bucket",
-            coalesce(element_at($"m", $"bucket"), lit(v)).as("value"))
+            when($"bucket" === $"eb", $"ev").otherwise(lit(v)).as("value"))
           .as[SeriesPoint]
       case None =>
         // Forward fill keeps the join shape: the fill needs the previous
