@@ -232,13 +232,47 @@ object Rollup {
     * the delta's key count, not the base's size — enters the merge
     * aggregation.
     */
+  /** Broadcasting more touched keys than this falls back to a shuffle
+    * join: an unguarded broadcast of a huge backfill delta's key set
+    * would OOM the driver long before Spark's own 8 GB broadcast cap
+    * fires. ~4M three-column keys is comfortably inside a few hundred MB
+    * built relation; a real deployment tunes this with its driver size.
+    */
+  val MaxBroadcastKeys: Long = 4L * 1000 * 1000
+
+  /** Deltas whose PLAN-TIME size estimate is under this skip the exact
+    * touched-key count: even if every input row touched a distinct
+    * bucket, the key set is safely broadcastable. Keeps the designed
+    * micro-batch path free of any extra action; only a plausibly
+    * backfill-sized delta pays one count() (amortized by the big job it
+    * gates). Estimates can be wrong, but only by enough to matter when
+    * the input is ALREADY large — which is exactly when they are real
+    * file-scan sizes.
+    */
+  val SmallDeltaBytes: Long = 64L * 1024 * 1024
+
   def maintainTier(base: Dataset[TierAgg], delta: Dataset[SeriesPoint],
-      tier: String, saltBuckets: Int = 1): Dataset[TierAgg] = {
+      tier: String, saltBuckets: Int = 1,
+      maxBroadcastKeys: Long = MaxBroadcastKeys,
+      smallDeltaBytes: Long = SmallDeltaBytes): Dataset[TierAgg] = {
     val spark = base.sparkSession
     import spark.implicits._
+    // the delta rollup's rows ARE the touched keys (one per (conv, kind,
+    // bucket)), so no separate distinct is needed. Left unpersisted: the
+    // micro-batch path must stay free of extra jobs and cache encoding
+    // (a lazy persist here measured +0.3 s on q40); the exact count below
+    // recomputes it once, but only on the plausibly-backfill path where
+    // that cost is noise against the job it gates.
     val deltaAgg = rollupRaw(delta, tier, saltBuckets)
+    val estBytes = delta.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bcast = estBytes <= smallDeltaBytes ||
+      deltaAgg.count() <= maxBroadcastKeys
     val keys = Seq("conv_id", "kind", "bucket")
-    val touched = broadcast(deltaAgg.select($"conv_id", $"kind", $"bucket").distinct())
+    val touchedKeys = deltaAgg.select($"conv_id", $"kind", $"bucket")
+    // micro-batch ingest (the designed use) broadcasts: base never
+    // shuffles. A backfill-sized delta falls back to a shuffle join —
+    // slower but bounded by executor memory, not the driver heap.
+    val touched = if (bcast) broadcast(touchedKeys) else touchedKeys
     val untouched = base.join(touched, keys, "left_anti").as[TierAgg]
     val affected = base.join(touched, keys, "left_semi").as[TierAgg]
     // src orders first/last across the two sides: the append-only
@@ -278,27 +312,38 @@ object Rollup {
     */
   def maintainAllTiers(base1m: Dataset[TierAgg], base1h: Dataset[TierAgg],
       base1d: Dataset[TierAgg], delta: Dataset[SeriesPoint],
-      saltBuckets: Int = 1):
+      saltBuckets: Int = 1,
+      maxBroadcastKeys: Long = MaxBroadcastKeys,
+      smallDeltaBytes: Long = SmallDeltaBytes):
       (Dataset[TierAgg], Dataset[TierAgg], Dataset[TierAgg]) = {
     val spark = base1m.sparkSession
     import spark.implicits._
-    val m = maintainTier(base1m, delta, "1m", saltBuckets)
+    val m = maintainTier(base1m, delta, "1m", saltBuckets, maxBroadcastKeys,
+      smallDeltaBytes)
 
     def refresh(baseCoarse: Dataset[TierAgg], finer: Dataset[TierAgg],
         tier: String): Dataset[TierAgg] = {
       val step = TierStep(tier)
+      // broadcast gated the same two-tier way as maintainTier (free size
+      // estimate, exact count only for plausibly-large deltas) — a
+      // backfill must not ride an unguarded driver broadcast
       val touchedKeys = delta
         .select($"conv_id", $"kind",
           ($"bucket" - pmod($"bucket", lit(step))).as("bucket"))
         .distinct()
+      val bcast =
+        delta.queryExecution.optimizedPlan.stats.sizeInBytes <= smallDeltaBytes ||
+          touchedKeys.count() <= maxBroadcastKeys
+      def side(df: org.apache.spark.sql.DataFrame) =
+        if (bcast) broadcast(df) else df
       val keys = Seq("conv_id", "kind", "bucket")
       val untouched = baseCoarse
-        .join(broadcast(touchedKeys), keys, "left_anti").as[TierAgg]
+        .join(side(touchedKeys.toDF()), keys, "left_anti").as[TierAgg]
       // affected slice of the finer tier: its rows whose COARSE bucket is
       // touched (join on the derived coarse key, finer bucket preserved)
       val affectedFiner = finer
         .withColumn("cb", $"bucket" - pmod($"bucket", lit(step)))
-        .join(broadcast(touchedKeys.toDF("conv_id", "kind", "cb")),
+        .join(side(touchedKeys.toDF("conv_id", "kind", "cb")),
           Seq("conv_id", "kind", "cb"), "left_semi")
         .drop("cb").as[TierAgg]
       untouched.unionByName(rollupTier(affectedFiner, tier))

@@ -490,6 +490,59 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     rm(new java.io.File(baseDir))
   }
 
+  test("maintainTier guards the touched-key broadcast: a delta over the " +
+      "threshold falls back to a shuffle join with identical results") {
+    import spark.implicits._
+    val transcripts = TranscriptGen.generate(spark, 10)
+    val raw = transcripts.select($"conv_id", lit("token_len_t").as("kind"),
+      unix_micros($"ts").as("bucket"), length($"text").cast("double").as("value"))
+      .as[SeriesPoint]
+    val (lo, hi) = raw.agg(min($"bucket"), max($"bucket"))
+      .as[(Long, Long)].first()
+    val cut = lo + (hi - lo) / 2 + 31L * 1000000L
+    val base = Rollup.rollupRaw(raw.where($"bucket" < cut), "1m")
+    val delta = raw.where($"bucket" >= cut)
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    // default (micro-batch) path: the touched-key side carries an
+    // explicit broadcast hint, so the base never shuffles
+    val hinted = Rollup.maintainTier(base, delta, "1m")
+    assert(hints(hinted.toDF()) >= 2, "expected broadcast hints on both joins")
+    graft.util.StageCache.release(spark)
+    // oversized delta (threshold forced to 1 key): NO broadcast hint —
+    // the key set rides a regular join bounded by executor memory, and
+    // the maintained rows still equal the full recompute exactly
+    val guarded = Rollup.maintainTier(base, delta, "1m", maxBroadcastKeys = 1L,
+      smallDeltaBytes = 0L)
+    assert(hints(guarded.toDF()) == 0,
+      "an over-threshold delta must not be broadcast-hinted")
+    val cols = Seq("conv_id", "kind", "bucket", "cnt", "sum", "min", "max", "first", "last")
+    val a = guarded.orderBy("conv_id", "kind", "bucket").select(cols.map(col): _*).collect()
+    val b = Rollup.rollupRaw(raw, "1m")
+      .orderBy("conv_id", "kind", "bucket").select(cols.map(col): _*).collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      for (i <- 0 until x.length)
+        (x.get(i), y.get(i)) match {
+          case (dx: Double, dy: Double) => assert(math.abs(dx - dy) < 1e-9, s"$x vs $y")
+          case (ox, oy) => assert(ox == oy, s"$x vs $y")
+        }
+    }
+    // maintainAllTiers under the same forced threshold: all tiers exact
+    val base1h = Rollup.rollupTier(base, "1h")
+    val base1d = Rollup.rollupTier(base1h, "1d")
+    val (m2, h2, d2) = Rollup.maintainAllTiers(base, base1h, base1d, delta,
+      maxBroadcastKeys = 1L, smallDeltaBytes = 0L)
+    val full1h = Rollup.rollupTier(Rollup.rollupRaw(raw, "1m"), "1h")
+    val full1d = Rollup.rollupTier(full1h, "1d")
+    assert(m2.count() == Rollup.rollupRaw(raw, "1m").count())
+    assert(h2.count() == full1h.count())
+    assert(d2.count() == full1d.count())
+    graft.util.StageCache.release(spark)
+  }
+
   test("approx-percentile sketch (the 100 TB quantile path behind q41) " +
       "stays inside its rank-error bound under any partitioning") {
     import spark.implicits._
