@@ -45,17 +45,40 @@ object ScalingBench {
       steal: Double, ext: Double, rollupSec: Double, mpSec: Double,
       points: Long, subseq: Long, genericSec: Double = Double.NaN)
 
-  private def trialJson(t: Trial): String =
+  /** RFC 8259-valid number: NaN (a leg that did not run) emits null —
+    * a bare NaN token is rejected by jq/JSON.parse and invalidated the
+    * r7 SCALING jsonl artifacts.
+    */
+  private[run] def jnum(v: Double): String =
+    if (v.isNaN) "null" else f"$v%.3f"
+
+  private def trialJson(t: Trial, convs: Int, turnsScale: Int): String =
     f"""{"cpus":${t.cpus},"round":${t.round},"load":${t.load}%.2f,""" +
       f""""steal_pct":${t.steal}%.4f,"ext_pct":${t.ext}%.4f,""" +
       f""""rollup_sec":${t.rollupSec}%.3f,"mp_sec":${t.mpSec}%.3f,""" +
-      f""""generic_sec":${t.genericSec}%.3f,""" +
+      s""""generic_sec":${jnum(t.genericSec)},""" +
+      s""""convs":$convs,"turns_scale":$turnsScale,""" +
       f""""points":${t.points},"subseq":${t.subseq}}"""
 
-  private def parseTrial(line: String): Option[Trial] = {
+  /** Parse a checkpoint line; lines recorded under a DIFFERENT workload
+    * config (or an old config-less format) are rejected so a resumed
+    * battery can never merge incomparable trials into one summary.
+    */
+  private def parseTrial(line: String, convs: Int,
+      turnsScale: Int): Option[Trial] = {
     def f(k: String): Option[String] =
       ("\"" + k + "\":(-?[0-9.eE+NaN]+)").r
         .findFirstMatchIn(line).map(_.group(1))
+    val configOk =
+      f("convs").contains(convs.toString) &&
+        f("turns_scale").contains(turnsScale.toString)
+    if (!configOk) {
+      if (line.trim.nonEmpty)
+        System.err.println(s"[scaling] ignoring checkpoint line with " +
+          s"different/missing workload config (want convs=$convs, " +
+          s"turns_scale=$turnsScale): ${line.take(120)}")
+      return None
+    }
     try for {
       c <- f("cpus"); r <- f("round"); l <- f("load"); s <- f("steal_pct")
       e <- f("ext_pct"); ro <- f("rollup_sec"); m <- f("mp_sec")
@@ -85,7 +108,7 @@ object ScalingBench {
       if (java.nio.file.Files.exists(p)) {
         val prior = scala.jdk.CollectionConverters
           .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala
-          .flatMap(parseTrial)
+          .flatMap(parseTrial(_, convs, turnsScale))
         trials ++= prior
         System.err.println(s"[scaling] resumed ${prior.size} trials from $ckptPath")
       }
@@ -95,7 +118,8 @@ object ScalingBench {
     def checkpoint(t: Trial): Unit = if (ckptPath.nonEmpty) {
       val p = java.nio.file.Paths.get(ckptPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(p, (trialJson(t) + "\n").getBytes("UTF-8"),
+      java.nio.file.Files.write(p,
+        (trialJson(t, convs, turnsScale) + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
@@ -182,8 +206,8 @@ object ScalingBench {
       f""""mp_sps_lo":${mLo.subseq / mLo.mpSec}%.0f,""" +
       f""""mp_sps_hi":${mHi.subseq / mHi.mpSec}%.0f,""" +
       f""""efficiency_rollup":$effRollup%.3f,"efficiency_mp":$effMp%.3f,""" +
-      f""""generic_sec_lo":$gLo%.3f,"generic_sec_hi":$gHi%.3f,""" +
-      f""""efficiency_generic":$effGeneric%.3f,""" +
+      s""""generic_sec_lo":${jnum(gLo)},"generic_sec_hi":${jnum(gHi)},""" +
+      s""""efficiency_generic":${jnum(effGeneric)},""" +
       f""""cleanest_round":$cleanRd,"cleanest_round_load":$cLoad%.2f,""" +
       f""""cleanest_round_contention":$cCont%.3f,""" +
       f""""efficiency_rollup_cleanpair":$effRollupPair%.3f,""" +

@@ -44,7 +44,10 @@ object StorageScalingBench {
   private def bucketedTable(spark: SparkSession, convs: Int,
       turnsScale: Int, buckets: Int): (String, Double) = {
     import spark.implicits._
-    val table = s"graft_storage_rollup_${convs}_$turnsScale"
+    // buckets is part of the identity: reusing files written with a
+    // different bucket count under new CLUSTERED BY metadata would make
+    // Spark trust wrong bucket ids for the zero-exchange scan
+    val table = s"graft_storage_rollup_${convs}_${turnsScale}_$buckets"
     val path = s"/tmp/graft_storage_rollup/$table"
     var writeSec = Double.NaN
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
@@ -73,15 +76,32 @@ object StorageScalingBench {
   final case class Trial(cpus: Int, round: Int, load: Double, steal: Double,
       ext: Double, sec: Double, rolled: Long, chunksSec: Double, chunks: Long)
 
-  private def trialJson(t: Trial): String =
+  private def trialJson(t: Trial, convs: Int, turnsScale: Int,
+      buckets: Int): String =
     f"""{"cpus":${t.cpus},"round":${t.round},"load":${t.load}%.2f,""" +
       f""""steal_pct":${t.steal}%.4f,"ext_pct":${t.ext}%.4f,""" +
       f""""rollup_sec":${t.sec}%.3f,"rolled":${t.rolled},""" +
-      f""""chunks_sec":${t.chunksSec}%.3f,"chunks":${t.chunks}}"""
+      s""""convs":$convs,"turns_scale":$turnsScale,"buckets":$buckets,""" +
+      s""""chunks_sec":${ScalingBench.jnum(t.chunksSec)},"chunks":${t.chunks}}"""
 
-  private def parseTrial(line: String): Option[Trial] = {
+  /** Checkpoint lines from a different workload config (or the old
+    * config-less format) are rejected — resumed trials must be
+    * comparable with the current run's.
+    */
+  private def parseTrial(line: String, convs: Int, turnsScale: Int,
+      buckets: Int): Option[Trial] = {
     def f(k: String): Option[String] =
       ("\"" + k + "\":(-?[0-9.eE+NaN]+)").r.findFirstMatchIn(line).map(_.group(1))
+    val configOk = f("convs").contains(convs.toString) &&
+      f("turns_scale").contains(turnsScale.toString) &&
+      f("buckets").contains(buckets.toString)
+    if (!configOk) {
+      if (line.trim.nonEmpty)
+        System.err.println("[storage-scaling] ignoring checkpoint line with " +
+          s"different/missing config (want convs=$convs, " +
+          s"turns_scale=$turnsScale, buckets=$buckets): ${line.take(120)}")
+      return None
+    }
     try for {
       c <- f("cpus"); r <- f("round"); l <- f("load"); s <- f("steal_pct")
       e <- f("ext_pct"); sec <- f("rollup_sec"); ro <- f("rolled")
@@ -91,6 +111,9 @@ object StorageScalingBench {
       f("chunks").map(_.toLong).getOrElse(0L))
     catch { case _: Throwable => None }
   }
+
+  /** Whole-number JSON value; NaN (a leg that did not run) emits null. */
+  private def jwhole(v: Double): String = if (v.isNaN) "null" else f"$v%.0f"
 
   def main(args: Array[String]): Unit = {
     val convs = if (args.length > 0) args(0).toInt else 8000
@@ -108,7 +131,7 @@ object StorageScalingBench {
       if (java.nio.file.Files.exists(p)) {
         trials ++= scala.jdk.CollectionConverters
           .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala
-          .flatMap(parseTrial)
+          .flatMap(parseTrial(_, convs, turnsScale, buckets))
         System.err.println(s"[storage-scaling] resumed ${trials.size} trials")
       }
     }
@@ -117,7 +140,8 @@ object StorageScalingBench {
     def checkpoint(t: Trial): Unit = if (ckptPath.nonEmpty) {
       val p = java.nio.file.Paths.get(ckptPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(p, (trialJson(t) + "\n").getBytes("UTF-8"),
+      java.nio.file.Files.write(p,
+        (trialJson(t, convs, turnsScale, buckets) + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
@@ -211,17 +235,17 @@ object StorageScalingBench {
     val (cleanRd, cLo, cHi, cLoad, cCont) = pairs.minBy(t => (t._5, t._4))
     val effPair = (cLo.sec / cHi.sec) / factor
 
-    val rows = trials.map(trialJson).mkString(",")
+    val rows = trials.map(trialJson(_, convs, turnsScale, buckets)).mkString(",")
     println(f"""{"bench":"storage_scaling","cpus_lo":$lo,"cpus_hi":$hi,""" +
       f""""convs":$convs,"turns_scale":$turnsScale,"buckets":$buckets,""" +
       f""""rounds":$rounds,"reps_per_trial":$reps,"points":$nPoints,""" +
-      f""""rolled_rows":${bLo.rolled},"write_sec":$writeSecOnce%.1f,""" +
+      s""""rolled_rows":${bLo.rolled},"write_sec":${ScalingBench.jnum(writeSecOnce)},""" +
       f""""rollup_sec_lo":${bLo.sec}%.3f,"rollup_sec_hi":${bHi.sec}%.3f,""" +
       f""""pps_lo":${nPoints / bLo.sec}%.0f,"pps_hi":${nPoints / bHi.sec}%.0f,""" +
       f""""efficiency_rollup":$eff%.3f,""" +
-      f""""chunks_sec_lo":$cLoSec%.3f,"chunks_sec_hi":$cHiSec%.3f,""" +
-      f""""chunks_pps_lo":${nPoints / cLoSec}%.0f,"chunks_pps_hi":${nPoints / cHiSec}%.0f,""" +
-      f""""efficiency_chunks":$effChunks%.3f,""" +
+      s""""chunks_sec_lo":${ScalingBench.jnum(cLoSec)},"chunks_sec_hi":${ScalingBench.jnum(cHiSec)},""" +
+      s""""chunks_pps_lo":${jwhole(nPoints / cLoSec)},"chunks_pps_hi":${jwhole(nPoints / cHiSec)},""" +
+      s""""efficiency_chunks":${ScalingBench.jnum(effChunks)},""" +
       f""""cleanest_round":$cleanRd,"cleanest_round_load":$cLoad%.2f,""" +
       f""""cleanest_round_contention":$cCont%.4f,""" +
       f""""efficiency_rollup_cleanpair":$effPair%.3f,""" +
