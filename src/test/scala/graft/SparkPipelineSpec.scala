@@ -344,6 +344,33 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       bounded.map(_.value).sum == 5.0)
   }
 
+  test("gap-fill keeps the grid join's on-grid semantics: off-grid " +
+      "entries fill, grid ends at the last on-grid point") {
+    import spark.implicits._
+    val m = Rollup.MicrosPerMin
+    // entry at 90 s is OFF the 60 s grid anchored at lo=0: the former
+    // grid left-join never matched it, so the segment generation must
+    // also emit a fill there (not the value) and must not shift the grid
+    val pts = spark.createDataset(Seq(
+      SeriesPoint("c1", "v", 0L, 1.0),
+      SeriesPoint("c1", "v", m + m / 2, 2.0), // 90 s: off-grid
+      SeriesPoint("c1", "v", 3 * m, 3.0),
+      // hi itself off-grid: grid must stop at the last on-grid point
+      SeriesPoint("c2", "v", 0L, 5.0),
+      SeriesPoint("c2", "v", 2 * m + m / 2, 6.0), // 150 s: off-grid hi
+      // single-entry series: exactly one row, value preserved
+      SeriesPoint("c3", "v", 7 * m, 9.0)))
+    val got = Derive.gapFill(pts, m, Some(0.0))
+      .orderBy($"conv_id", $"bucket")
+      .as[SeriesPoint].collect()
+      .map(p => (p.conv_id, p.bucket / m, p.value))
+    val want = Seq(
+      ("c1", 0L, 1.0), ("c1", 1L, 0.0), ("c1", 2L, 0.0), ("c1", 3L, 3.0),
+      ("c2", 0L, 5.0), ("c2", 1L, 0.0), ("c2", 2L, 0.0),
+      ("c3", 7L, 9.0))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
   test("rollup tiers chain losslessly and salting is invariant") {
     import spark.implicits._
     val transcripts = TranscriptGen.generate(spark, 10)
