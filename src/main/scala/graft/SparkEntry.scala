@@ -19,8 +19,19 @@ object SparkEntry {
     s.read.parquet(s"$dir/events.parquet")
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-  private def embeddings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+  /** The embedding table arrives as ONE scan split at small scale, which
+    * serializes every downstream 64-dim cosine/hyperplane fold onto a
+    * single task (q23/q24/q25/q35). Spread by hash(vec_id) — 8-way covers
+    * the compute; wider widths just multiply near-empty tasks — only when
+    * the scan is under-parallel (a large corpus keeps its own splits).
+    */
+  private def embeddings(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/embeddings.parquet")
+    val want = math.min(8, s.sparkContext.defaultParallelism)
+    if (base.rdd.getNumPartitions * 2 < want)
+      base.repartition(want, col("vec_id"))
+    else base
+  }
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
