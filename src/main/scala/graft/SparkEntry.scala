@@ -406,13 +406,14 @@ object SparkEntry {
       // would silently lose candidate pairs the oracle keeps beyond ~1000
       // media per kind. Uncapping also drops the bucket-size aggregation
       // and anti-join the cap costs.
-      // dims are fixed by the decoders (image 8, audio 5): passing them
-      // skips one plan-time take(1) job per kind
+      // dims are fixed by the decoders (spec-pinned constants): passing
+      // them skips one plan-time take(1) job per kind
       def kindDups(kind: String) = Dedup.embeddingDups(
         vecs.where($"kind" === kind)
           .select($"media_id".as("vec_id"), $"vec".as("embedding")),
         threshold = 0.99995, maxBucket = 0,
-        dim = if (kind == "image") 8 else 5)
+        dim = if (kind == "image") Multimodal.ImageDedupDim
+          else Multimodal.AudioDedupDim)
         .select(lit(kind).as("kind"), $"id_a", $"id_b", $"cosine_e4")
       kindDups("image").union(kindDups("audio"))
     }),

@@ -83,6 +83,16 @@ object Multimodal {
   val AudioDim = 6
   val StubDim = 32
 
+  /** DEDUP vector widths — the component counts of [[imageDedupVec]] /
+    * [[audioDedupVec]] (NOT the feature dims above: AudioDim=6 is the
+    * feature vector, the audio dedup vector has 5). q39 passes these to
+    * the LSH builder so no plan-time take(1) is needed; MultimodalSpec
+    * pins them to the decoders' actual output lengths so a component
+    * added to a decoder fails the suite instead of silently misbucketing.
+    */
+  val ImageDedupDim = 8
+  val AudioDedupDim = 5
+
   /** Deterministic synthetic image geometry: width 16..31, height 16..23.
     * Integer-only so a SQL oracle can recompute it from the id.
     */

@@ -2,9 +2,10 @@ package graft.run
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiler for one query: runs it N times, printing per-rep wall
-  * plus Spark job/stage/task counts and summed task time from a listener —
-  * the evidence for where a small-data query's seconds actually go.
+/** Scratch profiler for one query: one cold rep (rep=0) plus `reps` warm
+  * reps, printing per-rep wall, Spark job/stage/task counts and summed
+  * task time from a listener — the evidence for where a small-data
+  * query's seconds actually go.
   * Usage: `runMain graft.run.ProfileQ <query> [reps]`.
   */
 object ProfileQ {

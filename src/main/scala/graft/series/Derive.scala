@@ -104,6 +104,16 @@ object Derive {
         // element_at scans it linearly, which made the first r8 rewrite
         // O(entries) per grid row) — and `points` is consumed once
         // instead of twice (the pre-r8 bounds-agg + 3-key left join).
+        //
+        // Contracts this shape adds: (1) buckets must be unique per
+        // (conv_id, kind) — the SeriesPoint series invariant every caller
+        // satisfies by aggregating first; a duplicate now fails loudly at
+        // runtime (sequence() rejects start > stop) where the old join
+        // silently duplicated grid rows. (2) one aggregation buffer holds
+        // a whole series' entries (~24 B per point); callers with
+        // unaggregated multi-million-point groups should pre-filter to
+        // the retention horizon — the maxSteps clamp bounds the OUTPUT
+        // grid, not the collected input.
         val step = lit(stepMicros)
         points
           .groupBy($"conv_id", $"kind")

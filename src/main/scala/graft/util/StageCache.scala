@@ -23,36 +23,22 @@ object StageCache {
   private val registry = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
 
-  /** Persist `ds`, register the handle for a later [[release]], and
-    * MATERIALIZE the cache eagerly (one count() job) before returning.
-    * Spark's CacheManager dedupes by logical plan, so re-persisting an
-    * already-cached plan (e.g. quantSeriesCached called by two queries)
-    * reuses the existing entry rather than duplicating it.
+  /** Persist `ds` LAZILY (the default) and register the handle for a
+    * later [[release]]. Spark's CacheManager dedupes by logical plan, so
+    * re-persisting an already-cached plan (e.g. quantSeriesCached called
+    * by two queries) reuses the existing entry rather than duplicating
+    * it.
     *
-    * Eager materialization is the fix for the multi-consumer race every
-    * caller of this API has: a lazily persisted stage that fans out into
-    * N plan subtrees is materialized by whichever consumer stages run
-    * first — and AQE submits independent shuffle stages CONCURRENTLY, so
-    * all N consumers race to compute the same cache partitions, each
-    * paying the full upstream compute (the `BlockManager: Block rdd_X
-    * already exists on this machine; not re-adding it` warnings in the r7
-    * bench logs are exactly this: a task finished computing a partition
-    * another task had already cached). The md5-signature and quantized-
-    * series stages these persists protect are the expensive part of their
-    * queries, so the race both doubles CPU and injects run-to-run
-    * variance (whichever consumer wins changes per run). One eager pass
-    * up front costs the same scan the first consumer would pay anyway and
-    * makes every consumer a pure cache read.
-    */
-  /** Eager materialization (one count() at registration) was tried for
-    * the r8 round to close the multi-consumer race AQE's concurrent stage
-    * submission creates on lazily persisted stages (consumers recompute
-    * the same partitions; the `BlockManager: Block already exists`
-    * warnings). With the per-stage costs fixed at their source (codec
-    * contention, spread width), the race's duplicated work is now small
-    * and the eager counts' extra sequential jobs measured NET SLOWER on
-    * every multi-persist query (q39: 3.3 s lazy vs 4.8 s eager) — so lazy
-    * stays the default and eagerness is an opt-in experiment flag.
+    * Lazy persists have a known multi-consumer race: AQE submits
+    * independent consumer stages CONCURRENTLY, so N subtrees of one
+    * action can each compute the same cache partitions (the
+    * `BlockManager: Block rdd_X already exists` warnings). Eager
+    * materialization (one count() at registration,
+    * SPARK_GRAFT_EAGER_PERSIST=1) closes the race but was measured NET
+    * SLOWER on every multi-persist query once the r8 round made the
+    * raced stages cheap at their source (q39: 3.3 s lazy vs 4.8 s eager
+    * — the extra sequential jobs outweigh the duplicated compute), so
+    * lazy is the default and eagerness is an opt-in experiment flag.
     */
   private val eagerDefault = sys.env.get("SPARK_GRAFT_EAGER_PERSIST").contains("1")
 

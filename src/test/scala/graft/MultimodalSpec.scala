@@ -133,8 +133,11 @@ class MultimodalSpec extends AnyFunSuite {
       .map(id => id -> Multimodal.imageDedupVec(id, Multimodal.encodePng(id)))
     val auds = ids.filter(_ % 3 == 1)
       .map(id => id -> Multimodal.audioDedupVec(id, Multimodal.encodeWav(id)))
-    assert(imgs.forall(_._2.length == 8))
-    assert(auds.forall(_._2.length == 5))
+    // pins the constants q39 hands the LSH builder to the decoders'
+    // ACTUAL output widths — a component added to a decoder must fail
+    // here, not silently misbucket with wrong-length hyperplanes
+    assert(imgs.forall(_._2.length == Multimodal.ImageDedupDim))
+    assert(auds.forall(_._2.length == Multimodal.AudioDedupDim))
     // a re-ingested payload is bit-identical → its vector is too
     val (i0, v0) = imgs.head
     assert(Multimodal.imageDedupVec(i0 + 1000000L,
