@@ -107,17 +107,26 @@ object Dedup {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  private def md5Hex(s: String): String = {
-    val d = md5Local.get().digest(s.getBytes("UTF-8"))
-    val sb = new java.lang.StringBuilder(32)
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  // lowercase hex of a 16-byte digest; hex order over these strings equals
+  // unsigned lexicographic order over the digest bytes (each byte maps to
+  // two monotonically increasing hex chars), which is what lets the minhash
+  // kernel compare raw digests and defer hex encoding to one call per slot
+  private def hex16(d: Array[Byte]): String = {
+    val cs = new Array[Char](32)
     var i = 0
-    while (i < d.length) {
-      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
-      sb.append(Character.forDigit(d(i) & 0xf, 16))
+    while (i < 16) {
+      cs(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      cs(2 * i + 1) = hexDigits(d(i) & 0xf)
       i += 1
     }
-    sb.toString
+    new String(cs)
   }
+
+  // String.split("\\s+") recompiles the pattern on every call (multi-char
+  // regexes skip the fast path); the typed kernels tokenize per document
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
   /** MinHash signatures over word-k-shingle TEXTS: sig(f) = lexicographic
     * min of md5(f ':' shingle) over the document's distinct shingles — a
@@ -133,10 +142,17 @@ object Dedup {
     spreadForCpu(docs.select(col("doc_id").as("id"), col(textCol).as("t")))
       .as[(Long, String)]
       .mapPartitions { it =>
+        // the hashed bytes are identical to md5(f + ":" + shingle) over the
+        // concatenated string: the "f:" prefix is pure ASCII, so its UTF-8
+        // encoding never interacts with the shingle's (no surrogate can
+        // span the boundary) — precompute each slot's prefix bytes once
+        val md = md5Local.get()
+        val pfx = Array.tabulate(numHashes)(f => (f.toString + ":").getBytes("UTF-8"))
+        val cand = new Array[Byte](16)
         it.flatMap { case (id, text) =>
           // Locale.ROOT: JVM-default-locale lowercasing (e.g. tr_TR dotless
           // ı) would silently diverge from SQL lower() semantics
-          val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val toks = wsPattern.split(text.trim.toLowerCase(java.util.Locale.ROOT))
           if (toks.length < shingleK) Iterator.empty
           else {
             val nSh = toks.length - shingleK + 1
@@ -153,20 +169,28 @@ object Dedup {
               seen.add(sb.toString)
               i += 1
             }
-            val mins = Array.fill(numHashes)("￿")
+            // per-slot min kept as raw digest bytes (0xFF sentinel = the
+            // hex "ff..ff" ceiling); strict unsigned compare preserves the
+            // old first-wins-on-tie behavior, and hex order == byte order,
+            // so the final hex strings are byte-identical to the old path
+            val mins = Array.fill(numHashes)(Array.fill(16)(0xFF.toByte))
             val shIt = seen.iterator()
             while (shIt.hasNext) {
               val sh = shIt.next()
+              val shBytes = sh.getBytes("UTF-8")
               var f = 0
               while (f < numHashes) {
-                val h = md5Hex(f.toString + ":" + sh)
-                if (h.compareTo(mins(f)) < 0) mins(f) = h
+                md.update(pfx(f))
+                md.update(shBytes)
+                md.digest(cand, 0, 16)
+                if (java.util.Arrays.compareUnsigned(cand, mins(f)) < 0)
+                  System.arraycopy(cand, 0, mins(f), 0, 16)
                 f += 1
               }
             }
             val shingles = new Array[String](seen.size)
             seen.toArray(shingles)
-            Iterator((id, shingles, mins))
+            Iterator((id, shingles, mins.map(hex16)))
           }
         }
       }
@@ -257,16 +281,22 @@ object Dedup {
     spreadForCpu(docs.select(col(idCol).as("id"), col(textCol).as("t")))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val md = md5Local.get()
+        val d = new Array[Byte](16)
         it.map { case (id, text) =>
-          val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val toks = wsPattern.split(text.trim.toLowerCase(java.util.Locale.ROOT))
           val votes = new Array[Int](64)
           var ti = 0
           while (ti < toks.length) {
-            val h = md5Hex(toks(ti))
+            // bit p of the hex signature == bit (7 - p%8) of digest byte
+            // p/8 (hex char p/4 is the high/low nibble of that byte), so
+            // the votes match the old hex-string extraction exactly
+            md.update(toks(ti).getBytes("UTF-8"))
+            md.digest(d, 0, 16)
             var p = 0
             while (p < 64) {
-              val nib = Character.digit(h.charAt(p / 4), 16)
-              if (((nib >> (3 - (p % 4))) & 1) == 1) votes(p) += 1 else votes(p) -= 1
+              if (((d(p >>> 3) >> (7 - (p & 7))) & 1) == 1) votes(p) += 1
+              else votes(p) -= 1
               p += 1
             }
             ti += 1
